@@ -1,0 +1,1227 @@
+"""MJCF XML -> Model compiler (host-side, runs once, outside jit).
+
+TPU-native replacement for the MuJoCo model compiler the reference calls via
+``mj_loadXML`` / ``mj_parseXMLString`` + ``mj_compile``
+(/root/reference/src/physics.rs:12-24).  Parses an MJCF subset sufficient for
+dm_control-suite-class models (pendulum, cartpole, cheetah, walker, humanoid)
+and produces an immutable :class:`~oxide_control_tpu.model.Model` pytree.
+
+Field semantics, defaults and numbering deliberately match MuJoCo so the
+compiled model can be validated field-by-field against ``mujoco.MjModel``
+(see tests/test_mjcf.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import xml.etree.ElementTree as ET
+from typing import Any
+
+import numpy as np
+
+from ..api.errors import ModelError, UnsupportedFeatureError
+from ..model import (
+    BiasType,
+    ConeType,
+    DynType,
+    EqType,
+    GainType,
+    GeomType,
+    Integrator,
+    JointType,
+    Model,
+    NameTables,
+    Option,
+    QPOS_WIDTH,
+    DOF_WIDTH,
+    SolverType,
+    TrnType,
+)
+
+_GEOM_TYPES = {
+    "plane": GeomType.PLANE,
+    "sphere": GeomType.SPHERE,
+    "capsule": GeomType.CAPSULE,
+    "ellipsoid": GeomType.ELLIPSOID,
+    "cylinder": GeomType.CYLINDER,
+    "box": GeomType.BOX,
+}
+
+_JOINT_TYPES = {
+    "free": JointType.FREE,
+    "ball": JointType.BALL,
+    "slide": JointType.SLIDE,
+    "hinge": JointType.HINGE,
+}
+
+_INTEGRATORS = {
+    "Euler": Integrator.EULER,
+    "RK4": Integrator.RK4,
+    "implicit": Integrator.IMPLICIT,
+    "implicitfast": Integrator.IMPLICITFAST,
+}
+
+_SOLVERS = {"PGS": SolverType.PGS, "CG": SolverType.CG, "Newton": SolverType.NEWTON}
+
+_DEFAULT_SOLREF = (0.02, 1.0)
+_DEFAULT_SOLIMP = (0.9, 0.95, 0.001, 0.5, 2.0)
+
+
+# ---------------------------------------------------------------------------
+# attribute parsing helpers
+# ---------------------------------------------------------------------------
+
+
+def _floats(s: str) -> np.ndarray:
+    return np.array([float(x) for x in s.split()], dtype=np.float64)
+
+
+def _attr_floats(attrs: dict, key: str, default=None, n: int | None = None):
+    if key in attrs:
+        v = _floats(attrs[key])
+    elif default is None:
+        return None
+    else:
+        v = np.array(default, dtype=np.float64)
+    if n is not None:
+        if v.size > n:
+            raise ModelError(f"attribute '{key}' has {v.size} values, expected <= {n}")
+        if v.size < n:
+            v = np.concatenate([v, np.zeros(n - v.size)])
+    return v
+
+
+def _attr_float(attrs: dict, key: str, default: float) -> float:
+    return float(attrs[key]) if key in attrs else default
+
+
+def _attr_int(attrs: dict, key: str, default: int) -> int:
+    return int(attrs[key]) if key in attrs else default
+
+
+def _attr_bool(attrs: dict, key: str, default: bool) -> bool:
+    if key not in attrs:
+        return default
+    return attrs[key] in ("true", "1")
+
+
+# quaternion helpers (numpy, host side)
+
+
+def _quat_mul(u, v):
+    w1, x1, y1, z1 = u
+    w2, x2, y2, z2 = v
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+    )
+
+
+def _axis_angle_quat(axis, angle):
+    axis = np.asarray(axis, dtype=np.float64)
+    n = np.linalg.norm(axis)
+    if n < 1e-15:
+        return np.array([1.0, 0, 0, 0])
+    axis = axis / n
+    return np.concatenate([[math.cos(angle / 2)], axis * math.sin(angle / 2)])
+
+
+def _quat_from_zaxis(zaxis):
+    z = np.asarray(zaxis, dtype=np.float64)
+    z = z / np.linalg.norm(z)
+    z0 = np.array([0.0, 0.0, 1.0])
+    c = float(np.dot(z0, z))
+    if c > 1 - 1e-12:
+        return np.array([1.0, 0, 0, 0])
+    if c < -1 + 1e-12:
+        return np.array([0.0, 1.0, 0, 0])  # 180deg about x
+    axis = np.cross(z0, z)
+    return _axis_angle_quat(axis, math.acos(max(-1.0, min(1.0, c))))
+
+
+def _quat_from_xyaxes(xy):
+    x = np.asarray(xy[:3], dtype=np.float64)
+    y = np.asarray(xy[3:6], dtype=np.float64)
+    x = x / np.linalg.norm(x)
+    y = y - x * np.dot(x, y)
+    y = y / np.linalg.norm(y)
+    z = np.cross(x, y)
+    m = np.stack([x, y, z], axis=1)
+    return _mat_to_quat(m)
+
+
+def _mat_to_quat(m):
+    tr = np.trace(m)
+    if tr > 0:
+        s = math.sqrt(tr + 1.0) * 2
+        return np.array(
+            [0.25 * s, (m[2, 1] - m[1, 2]) / s, (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s]
+        )
+    i = int(np.argmax(np.diag(m)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = math.sqrt(max(1e-15, 1.0 + m[i, i] - m[j, j] - m[k, k])) * 2
+    q = np.zeros(4)
+    q[0] = (m[k, j] - m[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (m[j, i] + m[i, j]) / s
+    q[1 + k] = (m[k, i] + m[i, k]) / s
+    return q / np.linalg.norm(q)
+
+
+def _quat_to_mat(q):
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+class _Compiler:
+    """Single-use MJCF compiler instance."""
+
+    def __init__(self, root: ET.Element, base_dir: str | None = None):
+        if root.tag != "mujoco":
+            raise ModelError(f"root element must be <mujoco>, got <{root.tag}>")
+        self.root = root
+        self.base_dir = base_dir
+
+        # <compiler> settings
+        comp = root.find("compiler")
+        cattrs = dict(comp.attrib) if comp is not None else {}
+        self.angle_deg = cattrs.get("angle", "degree") == "degree"
+        self.eulerseq = cattrs.get("eulerseq", "xyz")
+        self.autolimits = cattrs.get("autolimits", "true") in ("true", "1")
+        self.inertiafromgeom = cattrs.get("inertiafromgeom", "auto")
+        self.settotalmass = float(cattrs.get("settotalmass", -1))
+        self.boundmass = float(cattrs.get("boundmass", 0.0))
+        self.boundinertia = float(cattrs.get("boundinertia", 0.0))
+
+        self.defaults = self._build_defaults(root)
+
+        # accumulators
+        self.bodies: list[dict] = []
+        self.joints: list[dict] = []
+        self.geoms: list[dict] = []
+        self.sites: list[dict] = []
+        self.actuators: list[dict] = []
+        self.equalities: list[dict] = []
+        self.excludes: list[tuple[str, str]] = []
+        self.explicit_pairs: list[dict] = []
+
+    # -- angle conversion ---------------------------------------------------
+
+    def _ang(self, x):
+        return np.deg2rad(x) if self.angle_deg else x
+
+    # -- defaults -----------------------------------------------------------
+
+    def _build_defaults(self, root) -> dict[str, dict[str, dict]]:
+        """class name -> {tag -> merged attr dict}."""
+        out: dict[str, dict[str, dict]] = {}
+
+        def walk(elem: ET.Element, inherited: dict[str, dict]):
+            merged = {tag: dict(attrs) for tag, attrs in inherited.items()}
+            for child in elem:
+                if child.tag == "default":
+                    continue
+                merged.setdefault(child.tag, {}).update(child.attrib)
+            cls = elem.get("class", "main")
+            out[cls] = merged
+            for child in elem:
+                if child.tag == "default":
+                    walk(child, merged)
+
+        top = root.find("default")
+        if top is not None:
+            walk(top, {})
+        out.setdefault("main", {})
+        return out
+
+    def _resolved(self, elem: ET.Element, cls: str) -> dict:
+        """Element attrs merged over its default class attrs."""
+        cls = elem.get("class", cls)
+        base = dict(self.defaults.get(cls, {}).get(elem.tag, {}))
+        base.update(elem.attrib)
+        return base
+
+    # -- orientation --------------------------------------------------------
+
+    def _orientation(self, attrs: dict) -> np.ndarray:
+        if "quat" in attrs:
+            q = _floats(attrs["quat"])
+            return q / np.linalg.norm(q)
+        if "euler" in attrs:
+            e = self._ang(_floats(attrs["euler"]))
+            q = np.array([1.0, 0, 0, 0])
+            axes = {"x": [1, 0, 0], "y": [0, 1, 0], "z": [0, 0, 1],
+                    "X": [1, 0, 0], "Y": [0, 1, 0], "Z": [0, 0, 1]}
+            for i, ch in enumerate(self.eulerseq):
+                rot = _axis_angle_quat(axes[ch], e[i])
+                if ch.islower():
+                    q = _quat_mul(q, rot)   # moving (intrinsic) axes
+                else:
+                    q = _quat_mul(rot, q)   # fixed (extrinsic) axes
+            return q
+        if "axisangle" in attrs:
+            aa = _floats(attrs["axisangle"])
+            return _axis_angle_quat(aa[:3], float(self._ang(aa[3])))
+        if "xyaxes" in attrs:
+            return _quat_from_xyaxes(_floats(attrs["xyaxes"]))
+        if "zaxis" in attrs:
+            return _quat_from_zaxis(_floats(attrs["zaxis"]))
+        return np.array([1.0, 0, 0, 0])
+
+    # -- tree walk ----------------------------------------------------------
+
+    def parse(self):
+        world = self.root.find("worldbody")
+        if world is None:
+            raise ModelError("missing <worldbody>")
+        # world body (id 0)
+        self.bodies.append(
+            dict(
+                name="world", parent=0, pos=np.zeros(3), quat=np.array([1.0, 0, 0, 0]),
+                mocap=False, explicit_inertial=None, jnt_ids=[], geom_ids=[],
+                site_ids=[], childclass="main",
+            )
+        )
+        self._walk_body(world, 0, "main")
+        self._parse_actuators()
+        self._parse_equality()
+        self._parse_contact()
+
+    def _walk_body(self, elem: ET.Element, body_id: int, cls: str):
+        for child in elem:
+            if child.tag == "joint":
+                self._add_joint(child, body_id, cls)
+            elif child.tag == "freejoint":
+                attrs = {"type": "free"}
+                if "name" in child.attrib:
+                    attrs["name"] = child.attrib["name"]
+                self._add_joint_attrs(attrs, body_id)
+            elif child.tag == "geom":
+                self._add_geom(child, body_id, cls)
+            elif child.tag == "site":
+                self._add_site(child, body_id, cls)
+            elif child.tag == "inertial":
+                self._set_inertial(child, body_id)
+            elif child.tag == "body":
+                self._add_body(child, body_id, cls)
+            elif child.tag in ("camera", "light"):
+                pass
+            else:
+                raise UnsupportedFeatureError(
+                    f"unsupported element <{child.tag}> inside <body>"
+                )
+
+    def _add_body(self, elem: ET.Element, parent: int, cls: str):
+        attrs = dict(elem.attrib)
+        cls = attrs.get("childclass", cls)
+        body_id = len(self.bodies)
+        self.bodies.append(
+            dict(
+                name=attrs.get("name", f"body{body_id}"),
+                parent=parent,
+                pos=_attr_floats(attrs, "pos", [0, 0, 0], 3),
+                quat=self._orientation(attrs),
+                mocap=_attr_bool(attrs, "mocap", False),
+                explicit_inertial=None,
+                jnt_ids=[], geom_ids=[], site_ids=[],
+                childclass=cls,
+            )
+        )
+        self._walk_body(elem, body_id, cls)
+
+    def _add_joint(self, elem: ET.Element, body_id: int, cls: str):
+        self._add_joint_attrs(self._resolved(elem, cls), body_id)
+
+    def _add_joint_attrs(self, attrs: dict, body_id: int):
+        jtype = _JOINT_TYPES.get(attrs.get("type", "hinge"))
+        if jtype is None:
+            raise ModelError(f"unknown joint type {attrs.get('type')!r}")
+        if jtype == JointType.FREE and self.bodies[body_id]["parent"] != 0:
+            # MuJoCo requires free joints on children of world
+            raise ModelError("free joint allowed only on direct children of world")
+        rng = _attr_floats(attrs, "range", [0, 0], 2)
+        if jtype in (JointType.HINGE, JointType.BALL):
+            rng = self._ang(rng)
+        has_range = "range" in attrs and (rng[0] != 0 or rng[1] != 0)
+        if "limited" in attrs:
+            limited = attrs["limited"] in ("true", "1")
+        elif self.autolimits:
+            limited = bool(has_range)
+        else:
+            limited = False
+        ref = _attr_float(attrs, "ref", 0.0)
+        springref = _attr_float(attrs, "springref", 0.0)
+        if jtype == JointType.HINGE:
+            ref, springref = float(self._ang(ref)), float(self._ang(springref))
+        jid = len(self.joints)
+        self.joints.append(
+            dict(
+                name=attrs.get("name", f"joint{jid}"),
+                type=jtype,
+                body=body_id,
+                pos=_attr_floats(attrs, "pos", [0, 0, 0], 3),
+                axis=_attr_floats(attrs, "axis", [0, 0, 1], 3),
+                range=rng,
+                limited=limited,
+                stiffness=_attr_float(attrs, "stiffness", 0.0),
+                damping=_attr_float(attrs, "damping", 0.0),
+                armature=_attr_float(attrs, "armature", 0.0),
+                frictionloss=_attr_float(attrs, "frictionloss", 0.0),
+                ref=ref,
+                springref=springref,
+                margin=_attr_float(attrs, "margin", 0.0),
+                solref=_attr_floats(attrs, "solreflimit", _DEFAULT_SOLREF, 2),
+                solimp=_attr_floats(attrs, "solimplimit", _DEFAULT_SOLIMP, 5),
+                solref_friction=_attr_floats(attrs, "solreffriction", _DEFAULT_SOLREF, 2),
+                solimp_friction=_attr_floats(attrs, "solimpfriction", _DEFAULT_SOLIMP, 5),
+            )
+        )
+        self.bodies[body_id]["jnt_ids"].append(jid)
+
+    def _add_geom(self, elem: ET.Element, body_id: int, cls: str):
+        attrs = self._resolved(elem, cls)
+        gtype = _GEOM_TYPES.get(attrs.get("type", "sphere"))
+        if gtype is None:
+            raise UnsupportedFeatureError(f"unsupported geom type {attrs.get('type')!r}")
+        size = _attr_floats(attrs, "size", [0, 0, 0], 3)
+        pos = _attr_floats(attrs, "pos", [0, 0, 0], 3)
+        quat = self._orientation(attrs)
+        if "fromto" in attrs:
+            ft = _floats(attrs["fromto"])
+            a, b = ft[:3], ft[3:6]
+            pos = 0.5 * (a + b)
+            # MuJoCo convention: geom z-axis points along (from - to)
+            quat = _quat_from_zaxis(a - b)
+            size = size.copy()
+            size[1] = 0.5 * np.linalg.norm(b - a)  # half-length
+        gid = len(self.geoms)
+        self.geoms.append(
+            dict(
+                name=attrs.get("name", f"geom{gid}"),
+                type=gtype,
+                body=body_id,
+                pos=pos,
+                quat=quat,
+                size=size,
+                mass=(_attr_float(attrs, "mass", -1.0) if "mass" in attrs else None),
+                density=_attr_float(attrs, "density", 1000.0),
+                friction=_attr_floats(attrs, "friction", [1.0, 0.005, 0.0001], 3),
+                contype=_attr_int(attrs, "contype", 1),
+                conaffinity=_attr_int(attrs, "conaffinity", 1),
+                condim=_attr_int(attrs, "condim", 3),
+                priority=_attr_int(attrs, "priority", 0),
+                margin=_attr_float(attrs, "margin", 0.0),
+                gap=_attr_float(attrs, "gap", 0.0),
+                solref=_attr_floats(attrs, "solref", _DEFAULT_SOLREF, 2),
+                solimp=_attr_floats(attrs, "solimp", _DEFAULT_SOLIMP, 5),
+                solmix=_attr_float(attrs, "solmix", 1.0),
+                group=_attr_int(attrs, "group", 0),
+            )
+        )
+        self.bodies[body_id]["geom_ids"].append(gid)
+
+    def _add_site(self, elem: ET.Element, body_id: int, cls: str):
+        attrs = self._resolved(elem, cls)
+        sid = len(self.sites)
+        self.sites.append(
+            dict(
+                name=attrs.get("name", f"site{sid}"),
+                body=body_id,
+                pos=_attr_floats(attrs, "pos", [0, 0, 0], 3),
+                quat=self._orientation(attrs),
+            )
+        )
+        self.bodies[body_id]["site_ids"].append(sid)
+
+    def _set_inertial(self, elem: ET.Element, body_id: int):
+        attrs = dict(elem.attrib)
+        mass = float(attrs["mass"])
+        pos = _attr_floats(attrs, "pos", [0, 0, 0], 3)
+        quat = self._orientation(attrs)
+        if "diaginertia" in attrs:
+            diag = _floats(attrs["diaginertia"])
+            full = None
+        elif "fullinertia" in attrs:
+            fi = _floats(attrs["fullinertia"])  # ixx iyy izz ixy ixz iyz
+            full = np.array(
+                [
+                    [fi[0], fi[3], fi[4]],
+                    [fi[3], fi[1], fi[5]],
+                    [fi[4], fi[5], fi[2]],
+                ]
+            )
+            diag = None
+        else:
+            raise ModelError("<inertial> needs diaginertia or fullinertia")
+        self.bodies[body_id]["explicit_inertial"] = dict(
+            mass=mass, pos=pos, quat=quat, diag=diag, full=full
+        )
+
+    # -- actuators ----------------------------------------------------------
+
+    def _parse_actuators(self):
+        act_root = self.root.find("actuator")
+        if act_root is None:
+            return
+        for elem in act_root:
+            attrs = self._resolved(elem, "main")
+            kind = elem.tag
+            if kind not in ("motor", "position", "velocity", "general"):
+                raise UnsupportedFeatureError(f"unsupported actuator <{kind}>")
+            if "joint" in attrs:
+                trntype, target = TrnType.JOINT, attrs["joint"]
+            elif "site" in attrs:
+                raise UnsupportedFeatureError("site transmission not yet supported")
+            else:
+                raise ModelError(f"actuator <{kind}> missing transmission target")
+
+            gainprm = np.zeros(10)
+            biasprm = np.zeros(10)
+            dynprm = np.zeros(10)
+            dynprm[0] = 1.0
+            gaintype, biastype, dyntype = GainType.FIXED, BiasType.NONE, DynType.NONE
+            if kind == "motor":
+                gainprm[0] = 1.0
+            elif kind == "position":
+                kp = _attr_float(attrs, "kp", 1.0)
+                kv = _attr_float(attrs, "kv", 0.0)
+                gainprm[0] = kp
+                biastype = BiasType.AFFINE
+                biasprm[1] = -kp
+                biasprm[2] = -kv
+            elif kind == "velocity":
+                kv = _attr_float(attrs, "kv", 1.0)
+                gainprm[0] = kv
+                biastype = BiasType.AFFINE
+                biasprm[2] = -kv
+            else:  # general
+                gp = _attr_floats(attrs, "gainprm", [1, 0, 0], 3)
+                gainprm[: gp.size] = gp
+                bp = _attr_floats(attrs, "biasprm", [0, 0, 0], 3)
+                biasprm[: bp.size] = bp
+                gaintype = GainType[attrs.get("gaintype", "fixed").upper()]
+                biastype = BiasType[attrs.get("biastype", "none").upper()]
+                if attrs.get("dyntype", "none") != "none":
+                    raise UnsupportedFeatureError("actuator dynamics not yet supported")
+
+            ctrlrange = _attr_floats(attrs, "ctrlrange", [0, 0], 2)
+            has_cr = "ctrlrange" in attrs and (ctrlrange[0] != 0 or ctrlrange[1] != 0)
+            if "ctrllimited" in attrs:
+                ctrllimited = attrs["ctrllimited"] in ("true", "1")
+            else:
+                ctrllimited = bool(has_cr) if self.autolimits else False
+            forcerange = _attr_floats(attrs, "forcerange", [0, 0], 2)
+            has_fr = "forcerange" in attrs and (forcerange[0] != 0 or forcerange[1] != 0)
+            if "forcelimited" in attrs:
+                forcelimited = attrs["forcelimited"] in ("true", "1")
+            else:
+                forcelimited = bool(has_fr) if self.autolimits else False
+
+            aid = len(self.actuators)
+            self.actuators.append(
+                dict(
+                    name=attrs.get("name", f"actuator{aid}"),
+                    trntype=trntype,
+                    target=target,
+                    gear=_attr_floats(attrs, "gear", [1, 0, 0, 0, 0, 0], 6),
+                    ctrlrange=ctrlrange,
+                    ctrllimited=ctrllimited,
+                    forcerange=forcerange,
+                    forcelimited=forcelimited,
+                    gaintype=gaintype,
+                    biastype=biastype,
+                    dyntype=dyntype,
+                    gainprm=gainprm,
+                    biasprm=biasprm,
+                    dynprm=dynprm,
+                )
+            )
+
+    # -- equality -----------------------------------------------------------
+
+    def _parse_equality(self):
+        eq_root = self.root.find("equality")
+        if eq_root is None:
+            return
+        for elem in eq_root:
+            attrs = self._resolved(elem, "main")
+            active = _attr_bool(attrs, "active", True)
+            solref = _attr_floats(attrs, "solref", _DEFAULT_SOLREF, 2)
+            solimp = _attr_floats(attrs, "solimp", _DEFAULT_SOLIMP, 5)
+            data = np.zeros(11)
+            if elem.tag == "connect":
+                etype = EqType.CONNECT
+                anchor = _attr_floats(attrs, "anchor", [0, 0, 0], 3)
+                data[:3] = anchor
+                obj1, obj2 = attrs["body1"], attrs.get("body2", "world")
+            elif elem.tag == "weld":
+                etype = EqType.WELD
+                relpose = _attr_floats(attrs, "relpose", [0, 0, 0, 1, 0, 0, 0], 7)
+                data[3:10] = relpose
+                data[10] = _attr_float(attrs, "torquescale", 1.0)
+                if "anchor" in attrs:
+                    data[:3] = _attr_floats(attrs, "anchor", [0, 0, 0], 3)
+                obj1, obj2 = attrs["body1"], attrs.get("body2", "world")
+            elif elem.tag == "joint":
+                etype = EqType.JOINT
+                poly = _attr_floats(attrs, "polycoef", [0, 1, 0, 0, 0], 5)
+                data[:5] = poly
+                obj1, obj2 = attrs["joint1"], attrs.get("joint2", "")
+            else:
+                raise UnsupportedFeatureError(f"unsupported equality <{elem.tag}>")
+            self.equalities.append(
+                dict(
+                    name=attrs.get("name", f"eq{len(self.equalities)}"),
+                    type=etype, obj1=obj1, obj2=obj2, active=active,
+                    solref=solref, solimp=solimp, data=data,
+                )
+            )
+
+    # -- contact overrides --------------------------------------------------
+
+    def _parse_contact(self):
+        c_root = self.root.find("contact")
+        if c_root is None:
+            return
+        for elem in c_root:
+            attrs = self._resolved(elem, "main")
+            if elem.tag == "exclude":
+                self.excludes.append((attrs["body1"], attrs["body2"]))
+            elif elem.tag == "pair":
+                self.explicit_pairs.append(attrs)
+            else:
+                raise UnsupportedFeatureError(f"unsupported contact <{elem.tag}>")
+
+    # -- option -------------------------------------------------------------
+
+    def parse_option(self) -> Option:
+        opt_elem = self.root.find("option")
+        attrs = dict(opt_elem.attrib) if opt_elem is not None else {}
+        flags = opt_elem.find("flag") if opt_elem is not None else None
+        fattrs = dict(flags.attrib) if flags is not None else {}
+        integ = attrs.get("integrator", "Euler")
+        if integ not in _INTEGRATORS:
+            raise UnsupportedFeatureError(f"integrator {integ!r} not supported")
+        solver = attrs.get("solver", "Newton")
+        cone = attrs.get("cone", "pyramidal")
+        return Option(
+            timestep=_attr_float(attrs, "timestep", 0.002),
+            gravity=tuple(_attr_floats(attrs, "gravity", [0, 0, -9.81], 3)),
+            wind=tuple(_attr_floats(attrs, "wind", [0, 0, 0], 3)),
+            density=_attr_float(attrs, "density", 0.0),
+            viscosity=_attr_float(attrs, "viscosity", 0.0),
+            integrator=_INTEGRATORS[integ],
+            solver=_SOLVERS[solver],
+            cone=ConeType.PYRAMIDAL if cone == "pyramidal" else ConeType.ELLIPTIC,
+            iterations=_attr_int(attrs, "iterations", 100),
+            tolerance=_attr_float(attrs, "tolerance", 1e-8),
+            ls_iterations=_attr_int(attrs, "ls_iterations", 50),
+            ls_tolerance=_attr_float(attrs, "ls_tolerance", 0.01),
+            impratio=_attr_float(attrs, "impratio", 1.0),
+            disable_contact=fattrs.get("contact", "enable") == "disable",
+            disable_gravity=fattrs.get("gravity", "enable") == "disable",
+            disable_limit=fattrs.get("limit", "enable") == "disable",
+            disable_eulerdamp=fattrs.get("eulerdamp", "enable") == "disable",
+        )
+
+
+# ---------------------------------------------------------------------------
+# geom mass properties
+# ---------------------------------------------------------------------------
+
+
+def _geom_mass_inertia(g: dict) -> tuple[float, np.ndarray]:
+    """(mass, principal inertia diag about geom com, in geom frame)."""
+    t, size = g["type"], g["size"]
+    r = float(size[0])
+    if t == GeomType.PLANE:
+        return 0.0, np.zeros(3)
+    if t == GeomType.SPHERE:
+        vol = 4.0 / 3.0 * math.pi * r**3
+        mass = g["mass"] if g["mass"] is not None else g["density"] * vol
+        i = 0.4 * mass * r * r
+        return mass, np.array([i, i, i])
+    if t == GeomType.CAPSULE:
+        h = float(size[1])
+        vol_c = math.pi * r * r * 2 * h
+        vol_s = 4.0 / 3.0 * math.pi * r**3
+        vol = vol_c + vol_s
+        mass = g["mass"] if g["mass"] is not None else g["density"] * vol
+        mc = mass * vol_c / vol
+        ms = mass * vol_s / vol
+        iz = mc * r * r / 2 + 0.4 * ms * r * r
+        ix = (
+            mc * (3 * r * r + 4 * h * h) / 12.0
+            + ms * (0.4 * r * r + h * h + 0.75 * h * r)
+        )
+        return mass, np.array([ix, ix, iz])
+    if t == GeomType.CYLINDER:
+        h = float(size[1])
+        vol = math.pi * r * r * 2 * h
+        mass = g["mass"] if g["mass"] is not None else g["density"] * vol
+        iz = mass * r * r / 2
+        ix = mass * (3 * r * r + 4 * h * h) / 12.0
+        return mass, np.array([ix, ix, iz])
+    if t == GeomType.BOX:
+        a, b, c = [float(x) for x in size]
+        vol = 8 * a * b * c
+        mass = g["mass"] if g["mass"] is not None else g["density"] * vol
+        return mass, mass / 3.0 * np.array([b * b + c * c, a * a + c * c, a * a + b * b])
+    if t == GeomType.ELLIPSOID:
+        a, b, c = [float(x) for x in size]
+        vol = 4.0 / 3.0 * math.pi * a * b * c
+        mass = g["mass"] if g["mass"] is not None else g["density"] * vol
+        return mass, mass / 5.0 * np.array([b * b + c * c, a * a + c * c, a * a + b * b])
+    raise UnsupportedFeatureError(f"mass properties for geom type {t}")
+
+
+def _principal_decomposition(full: np.ndarray):
+    """Full 3x3 inertia -> (diag(3) descending? MuJoCo order, quat)."""
+    w, v = np.linalg.eigh(full)  # ascending
+    # MuJoCo stores eigenvalues in the order produced by its own eigen
+    # decomposition (descending). Match: reverse.
+    w = w[::-1]
+    v = v[:, ::-1]
+    if np.linalg.det(v) < 0:
+        v[:, 2] = -v[:, 2]
+    return w, _mat_to_quat(v)
+
+
+# ---------------------------------------------------------------------------
+# main entry
+# ---------------------------------------------------------------------------
+
+
+def load_model_from_xml(xml: str, dtype=np.float64) -> Model:
+    """Compile an MJCF string (analog of Physics::from_xml_string,
+    /root/reference/src/physics.rs:18-24)."""
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError as e:
+        raise ModelError(f"XML parse error: {e}") from e
+    return _compile(root, dtype=dtype)
+
+
+def load_model(path: str | os.PathLike, dtype=np.float64) -> Model:
+    """Compile an MJCF file (analog of Physics::from_xml,
+    /root/reference/src/physics.rs:12-16)."""
+    try:
+        tree = ET.parse(path)
+    except (ET.ParseError, OSError) as e:
+        raise ModelError(f"cannot load {path}: {e}") from e
+    return _compile(tree.getroot(), base_dir=os.path.dirname(os.fspath(path)),
+                    dtype=dtype)
+
+
+def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) -> Model:
+    c = _Compiler(root, base_dir)
+    c.parse()
+    opt = c.parse_option()
+
+    nbody = len(c.bodies)
+    njnt = len(c.joints)
+    ngeom = len(c.geoms)
+    nsite = len(c.sites)
+    nu = len(c.actuators)
+    neq = len(c.equalities)
+
+    # ----- addresses -------------------------------------------------------
+    jnt_qposadr, jnt_dofadr = [], []
+    nq = nv = 0
+    for j in c.joints:
+        jnt_qposadr.append(nq)
+        jnt_dofadr.append(nv)
+        nq += QPOS_WIDTH[j["type"]]
+        nv += DOF_WIDTH[j["type"]]
+
+    body_parentid = [b["parent"] for b in c.bodies]
+    # rootid: highest ancestor below world
+    body_rootid = [0] * nbody
+    for i in range(1, nbody):
+        b = i
+        while body_parentid[b] != 0:
+            b = body_parentid[b]
+        body_rootid[i] = b
+    # weldid: nearest ancestor (or self) with a joint; world otherwise
+    body_weldid = [0] * nbody
+    for i in range(1, nbody):
+        if c.bodies[i]["jnt_ids"]:
+            body_weldid[i] = i
+        else:
+            body_weldid[i] = body_weldid[body_parentid[i]]
+
+    body_jntadr = [c.bodies[i]["jnt_ids"][0] if c.bodies[i]["jnt_ids"] else -1 for i in range(nbody)]
+    body_jntnum = [len(c.bodies[i]["jnt_ids"]) for i in range(nbody)]
+    body_dofadr = [
+        jnt_dofadr[c.bodies[i]["jnt_ids"][0]] if c.bodies[i]["jnt_ids"] else -1
+        for i in range(nbody)
+    ]
+    body_dofnum = [
+        sum(DOF_WIDTH[c.joints[j]["type"]] for j in c.bodies[i]["jnt_ids"])
+        for i in range(nbody)
+    ]
+    body_geomadr = [c.bodies[i]["geom_ids"][0] if c.bodies[i]["geom_ids"] else -1 for i in range(nbody)]
+    body_geomnum = [len(c.bodies[i]["geom_ids"]) for i in range(nbody)]
+
+    nmocap = 0
+    body_mocapid = []
+    for b in c.bodies:
+        if b["mocap"]:
+            if b["jnt_ids"]:
+                raise ModelError("mocap body cannot have joints")
+            body_mocapid.append(nmocap)
+            nmocap += 1
+        else:
+            body_mocapid.append(-1)
+
+    # dof tables
+    dof_bodyid, dof_jntid = [], []
+    for jid, j in enumerate(c.joints):
+        for _ in range(DOF_WIDTH[j["type"]]):
+            dof_bodyid.append(j["body"])
+            dof_jntid.append(jid)
+    # dof_parentid: previous dof within the same body chain
+    # last dof of the nearest ancestor body with dofs; within a body/joint the
+    # dofs chain sequentially.
+    last_dof_of_body = {}  # body -> last dof index so far
+    dof_parentid = []
+    d = 0
+    for jid, j in enumerate(c.joints):
+        b = j["body"]
+        # find parent dof: last dof of this body if already has dofs, else
+        # climb ancestors
+        pb = b
+        parent = last_dof_of_body.get(pb, None)
+        while parent is None and body_parentid[pb] != 0:
+            pb = body_parentid[pb]
+            parent = last_dof_of_body.get(pb, None)
+        if parent is None and body_parentid[pb] == 0:
+            parent = last_dof_of_body.get(0, None) if pb == 0 else None
+        prev = parent if parent is not None else -1
+        for _ in range(DOF_WIDTH[j["type"]]):
+            dof_parentid.append(prev)
+            prev = d
+            last_dof_of_body[b] = d
+            d += 1
+
+    # ----- per-joint arrays -----
+    jnt_type = [int(j["type"]) for j in c.joints]
+    jnt_bodyid = [j["body"] for j in c.joints]
+    jnt_pos = np.array([j["pos"] for j in c.joints]).reshape(njnt, 3)
+    jnt_axis = np.array(
+        [j["axis"] / np.linalg.norm(j["axis"]) for j in c.joints]
+    ).reshape(njnt, 3)
+    jnt_range = np.array([j["range"] for j in c.joints]).reshape(njnt, 2)
+    jnt_limited = [bool(j["limited"]) for j in c.joints]
+    jnt_stiffness = np.array([j["stiffness"] for j in c.joints])
+    jnt_margin = np.array([j["margin"] for j in c.joints])
+    jnt_solref = np.array([j["solref"] for j in c.joints]).reshape(njnt, 2)
+    jnt_solimp = np.array([j["solimp"] for j in c.joints]).reshape(njnt, 5)
+
+    dof_armature = np.zeros(nv)
+    dof_damping = np.zeros(nv)
+    dof_frictionloss = np.zeros(nv)
+    dof_solref = np.zeros((nv, 2))
+    dof_solimp = np.zeros((nv, 5))
+    for jid, j in enumerate(c.joints):
+        sl = slice(jnt_dofadr[jid], jnt_dofadr[jid] + DOF_WIDTH[j["type"]])
+        dof_armature[sl] = j["armature"]
+        dof_damping[sl] = j["damping"]
+        dof_frictionloss[sl] = j["frictionloss"]
+        dof_solref[sl] = j["solref_friction"]
+        dof_solimp[sl] = j["solimp_friction"]
+
+    # ----- qpos0 / qpos_spring -----
+    qpos0 = np.zeros(nq)
+    qpos_spring = np.zeros(nq)
+    for jid, j in enumerate(c.joints):
+        adr = jnt_qposadr[jid]
+        t = j["type"]
+        if t == JointType.FREE:
+            qpos0[adr : adr + 3] = c.bodies[j["body"]]["pos"]
+            qpos0[adr + 3 : adr + 7] = c.bodies[j["body"]]["quat"]
+            qpos_spring[adr : adr + 7] = qpos0[adr : adr + 7]
+        elif t == JointType.BALL:
+            qpos0[adr : adr + 4] = [1, 0, 0, 0]
+            qpos_spring[adr : adr + 4] = [1, 0, 0, 0]
+        else:
+            qpos0[adr] = j["ref"]
+            qpos_spring[adr] = j["springref"]
+
+    # ----- geoms -----
+    geom_type = [int(g["type"]) for g in c.geoms]
+    geom_bodyid = [g["body"] for g in c.geoms]
+    geom_pos = np.array([g["pos"] for g in c.geoms]).reshape(ngeom, 3)
+    geom_quat = np.array([g["quat"] for g in c.geoms]).reshape(ngeom, 4)
+    geom_size = np.array([g["size"] for g in c.geoms]).reshape(ngeom, 3)
+    geom_friction = np.array([g["friction"] for g in c.geoms]).reshape(ngeom, 3)
+    geom_margin = np.array([g["margin"] for g in c.geoms])
+    geom_gap = np.array([g["gap"] for g in c.geoms])
+    geom_solref = np.array([g["solref"] for g in c.geoms]).reshape(ngeom, 2)
+    geom_solimp = np.array([g["solimp"] for g in c.geoms]).reshape(ngeom, 5)
+    geom_solmix = np.array([g["solmix"] for g in c.geoms])
+    geom_contype = [g["contype"] for g in c.geoms]
+    geom_conaffinity = [g["conaffinity"] for g in c.geoms]
+    geom_condim = [g["condim"] for g in c.geoms]
+    geom_priority = [g["priority"] for g in c.geoms]
+
+    rbound = np.zeros(ngeom)
+    for i, g in enumerate(c.geoms):
+        t, s = g["type"], g["size"]
+        if t == GeomType.PLANE:
+            rbound[i] = 0.0
+        elif t == GeomType.SPHERE:
+            rbound[i] = s[0]
+        elif t in (GeomType.CAPSULE, GeomType.CYLINDER):
+            rbound[i] = s[0] + s[1] if t == GeomType.CAPSULE else math.hypot(s[0], s[1])
+        else:
+            rbound[i] = float(np.linalg.norm(s))
+
+    # ----- body inertial properties -----
+    body_pos = np.array([b["pos"] for b in c.bodies]).reshape(nbody, 3)
+    body_quat = np.array([b["quat"] for b in c.bodies]).reshape(nbody, 4)
+    body_mass = np.zeros(nbody)
+    body_inertia = np.zeros((nbody, 3))
+    body_ipos = np.zeros((nbody, 3))
+    body_iquat = np.tile(np.array([1.0, 0, 0, 0]), (nbody, 1))
+
+    for i in range(1, nbody):
+        b = c.bodies[i]
+        expl = b["explicit_inertial"]
+        use_geom = (
+            c.inertiafromgeom == "true"
+            or (c.inertiafromgeom == "auto" and expl is None)
+        )
+        if use_geom and b["geom_ids"]:
+            # combine geom inertias
+            masses, coms, fulls = [], [], []
+            for gid in b["geom_ids"]:
+                g = c.geoms[gid]
+                m, diag = _geom_mass_inertia(g)
+                r = _quat_to_mat(g["quat"])
+                full = r @ np.diag(diag) @ r.T
+                masses.append(m)
+                coms.append(g["pos"])
+                fulls.append(full)
+            mtot = float(np.sum(masses))
+            if mtot > 0:
+                com = np.sum([m * p for m, p in zip(masses, coms)], axis=0) / mtot
+            else:
+                com = np.zeros(3)
+            itot = np.zeros((3, 3))
+            for m, p, full in zip(masses, coms, fulls):
+                d = p - com
+                itot += full + m * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+            diag, iquat = _principal_decomposition(itot)
+            body_mass[i] = max(mtot, c.boundmass)
+            body_inertia[i] = np.maximum(diag, c.boundinertia)
+            body_ipos[i] = com
+            body_iquat[i] = iquat
+        elif expl is not None:
+            body_mass[i] = max(expl["mass"], c.boundmass)
+            body_ipos[i] = expl["pos"]
+            if expl["diag"] is not None:
+                body_inertia[i] = np.maximum(expl["diag"], c.boundinertia)
+                body_iquat[i] = expl["quat"]
+            else:
+                r = _quat_to_mat(expl["quat"])
+                full_world = r @ expl["full"] @ r.T
+                diag, iquat = _principal_decomposition(full_world)
+                body_inertia[i] = np.maximum(diag, c.boundinertia)
+                body_iquat[i] = iquat
+        else:
+            # massless body (allowed if it has dofs only in chains; MuJoCo
+            # errors for moving massless bodies — keep permissive, zero mass)
+            pass
+
+    body_subtreemass = body_mass.copy()
+    for i in range(nbody - 1, 0, -1):
+        body_subtreemass[body_parentid[i]] += body_subtreemass[i]
+
+    # ----- names -----
+    names = NameTables(
+        body=tuple(b["name"] for b in c.bodies),
+        joint=tuple(j["name"] for j in c.joints),
+        geom=tuple(g["name"] for g in c.geoms),
+        site=tuple(s["name"] for s in c.sites),
+        actuator=tuple(a["name"] for a in c.actuators),
+        equality=tuple(e["name"] for e in c.equalities),
+    )
+
+    # ----- actuators -----
+    def _joint_id(name):
+        try:
+            return names.joint.index(name)
+        except ValueError:
+            raise ModelError(f"actuator references unknown joint {name!r}")
+
+    actuator_trnid = [ _joint_id(a["target"]) if a["trntype"] == TrnType.JOINT else -1
+                       for a in c.actuators ]
+
+    # ----- equality id resolution -----
+    eq_obj1id, eq_obj2id = [], []
+    for e in c.equalities:
+        if e["type"] in (EqType.CONNECT, EqType.WELD):
+            tbl = names.body
+        else:
+            tbl = names.joint
+        try:
+            eq_obj1id.append(tbl.index(e["obj1"]))
+        except ValueError:
+            raise ModelError(f"equality references unknown object {e['obj1']!r}")
+        if e["obj2"]:
+            try:
+                eq_obj2id.append(tbl.index(e["obj2"]))
+            except ValueError:
+                raise ModelError(f"equality references unknown object {e['obj2']!r}")
+        else:
+            eq_obj2id.append(-1)
+
+    # ----- contact pair table -----
+    pair_entries = _build_pairs(c, names, geom_type, geom_bodyid, body_weldid,
+                                body_parentid, geom_contype, geom_conaffinity,
+                                geom_condim, geom_priority, geom_solmix,
+                                geom_friction, geom_solref, geom_solimp,
+                                geom_margin, geom_gap)
+
+    # group by (type1, type2)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for idx, p in enumerate(pair_entries):
+        key = (geom_type[p["g1"]], geom_type[p["g2"]])
+        groups.setdefault(key, []).append(idx)
+    order = [i for key in sorted(groups) for i in groups[key]]
+    pair_entries = [pair_entries[i] for i in order]
+    pair_groups = tuple(
+        (int(t1), int(t2), tuple((pair_entries[i]["g1"], pair_entries[i]["g2"])
+                                 for i in range(len(pair_entries))
+                                 if (geom_type[pair_entries[i]["g1"]],
+                                     geom_type[pair_entries[i]["g2"]]) == (t1, t2)))
+        for (t1, t2) in sorted(groups)
+    )
+
+    npair = len(pair_entries)
+    pair_geom1 = np.array([p["g1"] for p in pair_entries], dtype=np.int32)
+    pair_geom2 = np.array([p["g2"] for p in pair_entries], dtype=np.int32)
+    pair_friction = np.array([p["friction"] for p in pair_entries]).reshape(npair, 5)
+    pair_solref = np.array([p["solref"] for p in pair_entries]).reshape(npair, 2)
+    pair_solimp = np.array([p["solimp"] for p in pair_entries]).reshape(npair, 5)
+    pair_margin = np.array([p["margin"] for p in pair_entries]).reshape(npair)
+    pair_gap = np.array([p["gap"] for p in pair_entries]).reshape(npair)
+    pair_condim = tuple(int(p["condim"]) for p in pair_entries)
+
+    f = lambda x: np.asarray(x, dtype=dtype)
+
+    return Model(
+        nq=nq, nv=nv, nu=nu, na=0, nbody=nbody, njnt=njnt, ngeom=ngeom,
+        nsite=nsite, neq=neq, nmocap=nmocap,
+        opt=opt,
+        body_parentid=tuple(body_parentid),
+        body_rootid=tuple(body_rootid),
+        body_weldid=tuple(body_weldid),
+        body_jntadr=tuple(body_jntadr),
+        body_jntnum=tuple(body_jntnum),
+        body_dofadr=tuple(body_dofadr),
+        body_dofnum=tuple(body_dofnum),
+        body_geomadr=tuple(body_geomadr),
+        body_geomnum=tuple(body_geomnum),
+        body_mocapid=tuple(body_mocapid),
+        jnt_type=tuple(jnt_type),
+        jnt_qposadr=tuple(jnt_qposadr),
+        jnt_dofadr=tuple(jnt_dofadr),
+        jnt_bodyid=tuple(jnt_bodyid),
+        jnt_limited=tuple(jnt_limited),
+        jnt_actfrclimited=tuple(False for _ in range(njnt)),
+        dof_bodyid=tuple(dof_bodyid),
+        dof_jntid=tuple(dof_jntid),
+        dof_parentid=tuple(dof_parentid),
+        geom_type=tuple(geom_type),
+        geom_bodyid=tuple(geom_bodyid),
+        geom_contype=tuple(geom_contype),
+        geom_conaffinity=tuple(geom_conaffinity),
+        geom_condim=tuple(geom_condim),
+        geom_priority=tuple(geom_priority),
+        site_bodyid=tuple(s["body"] for s in c.sites),
+        actuator_trntype=tuple(int(a["trntype"]) for a in c.actuators),
+        actuator_trnid=tuple(actuator_trnid),
+        actuator_gaintype=tuple(int(a["gaintype"]) for a in c.actuators),
+        actuator_biastype=tuple(int(a["biastype"]) for a in c.actuators),
+        actuator_dyntype=tuple(int(a["dyntype"]) for a in c.actuators),
+        actuator_ctrllimited=tuple(bool(a["ctrllimited"]) for a in c.actuators),
+        actuator_forcelimited=tuple(bool(a["forcelimited"]) for a in c.actuators),
+        actuator_actadr=tuple(-1 for _ in c.actuators),
+        actuator_actnum=tuple(0 for _ in c.actuators),
+        eq_type=tuple(int(e["type"]) for e in c.equalities),
+        eq_obj1id=tuple(eq_obj1id),
+        eq_obj2id=tuple(eq_obj2id),
+        eq_active0=tuple(bool(e["active"]) for e in c.equalities),
+        pair_groups=pair_groups,
+        pair_condim=pair_condim,
+        names=names,
+        qpos0=f(qpos0),
+        qpos_spring=f(qpos_spring),
+        body_pos=f(body_pos),
+        body_quat=f(body_quat),
+        body_ipos=f(body_ipos),
+        body_iquat=f(body_iquat),
+        body_mass=f(body_mass),
+        body_inertia=f(body_inertia),
+        body_subtreemass=f(body_subtreemass),
+        jnt_pos=f(jnt_pos),
+        jnt_axis=f(jnt_axis),
+        jnt_range=f(jnt_range),
+        jnt_stiffness=f(jnt_stiffness),
+        jnt_margin=f(jnt_margin),
+        jnt_solref=f(jnt_solref),
+        jnt_solimp=f(jnt_solimp),
+        dof_armature=f(dof_armature),
+        dof_damping=f(dof_damping),
+        dof_frictionloss=f(dof_frictionloss),
+        dof_solref=f(dof_solref),
+        dof_solimp=f(dof_solimp),
+        geom_pos=f(geom_pos),
+        geom_quat=f(geom_quat),
+        geom_size=f(geom_size),
+        geom_friction=f(geom_friction),
+        geom_margin=f(geom_margin),
+        geom_gap=f(geom_gap),
+        geom_solref=f(geom_solref),
+        geom_solimp=f(geom_solimp),
+        geom_solmix=f(geom_solmix),
+        geom_rbound=f(rbound),
+        site_pos=f(np.array([s["pos"] for s in c.sites]).reshape(nsite, 3)),
+        site_quat=f(np.array([s["quat"] for s in c.sites]).reshape(nsite, 4)),
+        actuator_gear=f(np.array([a["gear"] for a in c.actuators]).reshape(nu, 6)),
+        actuator_ctrlrange=f(np.array([a["ctrlrange"] for a in c.actuators]).reshape(nu, 2)),
+        actuator_forcerange=f(np.array([a["forcerange"] for a in c.actuators]).reshape(nu, 2)),
+        actuator_actrange=f(np.zeros((nu, 2))),
+        actuator_gainprm=f(np.array([a["gainprm"] for a in c.actuators]).reshape(nu, 10)),
+        actuator_biasprm=f(np.array([a["biasprm"] for a in c.actuators]).reshape(nu, 10)),
+        actuator_dynprm=f(np.array([a["dynprm"] for a in c.actuators]).reshape(nu, 10)),
+        eq_data=f(np.array([e["data"] for e in c.equalities]).reshape(neq, 11)),
+        eq_solref=f(np.array([e["solref"] for e in c.equalities]).reshape(neq, 2)),
+        eq_solimp=f(np.array([e["solimp"] for e in c.equalities]).reshape(neq, 5)),
+        pair_geom1=pair_geom1,
+        pair_geom2=pair_geom2,
+        pair_friction=f(pair_friction),
+        pair_solref=f(pair_solref),
+        pair_solimp=f(pair_solimp),
+        pair_margin=f(pair_margin),
+        pair_gap=f(pair_gap),
+    )
+
+
+def _build_pairs(c, names, geom_type, geom_bodyid, body_weldid, body_parentid,
+                 geom_contype, geom_conaffinity, geom_condim, geom_priority,
+                 geom_solmix, geom_friction, geom_solref, geom_solimp,
+                 geom_margin, geom_gap) -> list[dict]:
+    """Candidate contact pair enumeration with MuJoCo's dynamic filtering and
+    parameter mixing (static per pair — contact params don't depend on
+    state, so mixing is precomputed at compile time)."""
+    ngeom = len(geom_type)
+    exclude_bodies = set()
+    for b1name, b2name in c.excludes:
+        try:
+            b1 = names.body.index(b1name)
+            b2 = names.body.index(b2name)
+        except ValueError as e:
+            raise ModelError(f"contact exclude references unknown body: {e}")
+        exclude_bodies.add((min(b1, b2), max(b1, b2)))
+
+    def mix_params(g1, g2):
+        p1, p2 = geom_priority[g1], geom_priority[g2]
+        if p1 != p2:
+            hi = g1 if p1 > p2 else g2
+            fr = geom_friction[hi]
+            solref = geom_solref[hi]
+            solimp = geom_solimp[hi]
+            condim = geom_condim[hi]
+        else:
+            s1 = geom_solmix[g1]
+            s2 = geom_solmix[g2]
+            if s1 >= 0.001 or s2 >= 0.001:
+                mix = s1 / (s1 + s2) if (s1 + s2) > 0 else 0.5
+            else:
+                mix = 0.5
+            if geom_solref[g1][0] > 0 and geom_solref[g2][0] > 0:
+                solref = mix * geom_solref[g1] + (1 - mix) * geom_solref[g2]
+            else:
+                solref = np.minimum(geom_solref[g1], geom_solref[g2])
+            solimp = mix * geom_solimp[g1] + (1 - mix) * geom_solimp[g2]
+            fr = np.maximum(geom_friction[g1], geom_friction[g2])
+            condim = max(geom_condim[g1], geom_condim[g2])
+        friction5 = np.array([fr[0], fr[0], fr[1], fr[2], fr[2]])
+        margin = max(geom_margin[g1], geom_margin[g2])
+        gap = max(geom_gap[g1], geom_gap[g2])
+        return dict(friction=friction5, solref=np.asarray(solref),
+                    solimp=np.asarray(solimp), condim=condim, margin=margin,
+                    gap=gap)
+
+    pairs = []
+    for g1 in range(ngeom):
+        for g2 in range(g1 + 1, ngeom):
+            b1, b2 = geom_bodyid[g1], geom_bodyid[g2]
+            w1, w2 = body_weldid[b1], body_weldid[b2]
+            if w1 == w2:
+                continue
+            pw1 = body_weldid[body_parentid[w1]]
+            pw2 = body_weldid[body_parentid[w2]]
+            # parent-child exclusion, except contacts with the world
+            if (pw1 == w2 or pw2 == w1) and w1 != 0 and w2 != 0:
+                continue
+            if (min(b1, b2), max(b1, b2)) in exclude_bodies:
+                continue
+            if not (
+                (geom_contype[g1] & geom_conaffinity[g2])
+                or (geom_contype[g2] & geom_conaffinity[g1])
+            ):
+                continue
+            # canonical order: lower geom type first (plane first etc.)
+            a, b = (g1, g2) if geom_type[g1] <= geom_type[g2] else (g2, g1)
+            entry = dict(g1=a, g2=b)
+            entry.update(mix_params(a, b))
+            pairs.append(entry)
+
+    # explicit <contact><pair> entries (override / addition)
+    for attrs in c.explicit_pairs:
+        try:
+            a = names.geom.index(attrs["geom1"])
+            b = names.geom.index(attrs["geom2"])
+        except ValueError as e:
+            raise ModelError(f"contact pair references unknown geom: {e}")
+        if geom_type[a] > geom_type[b]:
+            a, b = b, a
+        base = mix_params(a, b)
+        fr3 = _attr_floats(attrs, "friction", None)
+        if fr3 is not None:
+            base["friction"] = np.array([fr3[0], fr3[1] if fr3.size > 1 else fr3[0],
+                                         fr3[2] if fr3.size > 2 else 0.005,
+                                         fr3[3] if fr3.size > 3 else 0.0001,
+                                         fr3[4] if fr3.size > 4 else 0.0001])
+        if "solref" in attrs:
+            base["solref"] = _floats(attrs["solref"])
+        if "solimp" in attrs:
+            base["solimp"] = _attr_floats(attrs, "solimp", None, 5)
+        if "condim" in attrs:
+            base["condim"] = int(attrs["condim"])
+        if "margin" in attrs:
+            base["margin"] = float(attrs["margin"])
+        if "gap" in attrs:
+            base["gap"] = float(attrs["gap"])
+        entry = dict(g1=a, g2=b)
+        entry.update(base)
+        # replace dynamic pair if it exists
+        pairs = [p for p in pairs if not (p["g1"] == a and p["g2"] == b)]
+        pairs.append(entry)
+
+    return pairs

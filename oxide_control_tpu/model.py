@@ -1,0 +1,308 @@
+"""Static model description: the TPU-native analog of MuJoCo's ``mjModel``.
+
+The reference wraps an opaque C ``mjModel`` produced by ``mj_loadXML``
+(/root/reference/src/physics.rs:12-16).  Here the model is an immutable JAX
+pytree: *structural* fields (tree topology, joint types, addresses, name
+tables) are static treedef metadata — they drive trace-time Python loops and
+are baked into the compiled XLA program — while *numeric* fields (positions,
+inertias, gains) are array leaves, so a single compiled step can be reused
+across models of identical structure.
+
+Enum values deliberately match MuJoCo's (mjtJoint / mjtGeom / ...) so golden
+tests can compare field-for-field against ``mujoco.MjModel``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .utils.struct import pytree_dataclass, static_field
+
+
+class JointType(enum.IntEnum):
+    FREE = 0
+    BALL = 1
+    SLIDE = 2
+    HINGE = 3
+
+
+class GeomType(enum.IntEnum):
+    PLANE = 0
+    HFIELD = 1
+    SPHERE = 2
+    CAPSULE = 3
+    ELLIPSOID = 4
+    CYLINDER = 5
+    BOX = 6
+    MESH = 7
+
+
+class Integrator(enum.IntEnum):
+    EULER = 0
+    RK4 = 1
+    IMPLICIT = 2
+    IMPLICITFAST = 3
+
+
+class SolverType(enum.IntEnum):
+    PGS = 0
+    CG = 1
+    NEWTON = 2
+
+
+class ConeType(enum.IntEnum):
+    PYRAMIDAL = 0
+    ELLIPTIC = 1
+
+
+class TrnType(enum.IntEnum):
+    JOINT = 0
+    SITE = 3
+
+
+class GainType(enum.IntEnum):
+    FIXED = 0
+    AFFINE = 1
+
+
+class BiasType(enum.IntEnum):
+    NONE = 0
+    AFFINE = 1
+
+
+class DynType(enum.IntEnum):
+    NONE = 0
+    INTEGRATOR = 1
+    FILTER = 2
+    FILTEREXACT = 3
+
+
+class EqType(enum.IntEnum):
+    CONNECT = 0
+    WELD = 1
+    JOINT = 2
+
+
+# number of qpos / qvel entries per joint type
+QPOS_WIDTH = {JointType.FREE: 7, JointType.BALL: 4, JointType.SLIDE: 1, JointType.HINGE: 1}
+DOF_WIDTH = {JointType.FREE: 6, JointType.BALL: 3, JointType.SLIDE: 1, JointType.HINGE: 1}
+
+
+@dataclasses.dataclass(frozen=True)
+class Option:
+    """Simulation options (MJCF ``<option>``); hashable, fully static."""
+
+    timestep: float = 0.002
+    gravity: tuple[float, float, float] = (0.0, 0.0, -9.81)
+    wind: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    density: float = 0.0
+    viscosity: float = 0.0
+    integrator: Integrator = Integrator.EULER
+    solver: SolverType = SolverType.NEWTON
+    cone: ConeType = ConeType.PYRAMIDAL
+    iterations: int = 100
+    tolerance: float = 1e-8
+    ls_iterations: int = 50
+    ls_tolerance: float = 0.01
+    impratio: float = 1.0
+    # disable flags (subset of mjtDisableBit we honor)
+    disable_contact: bool = False
+    disable_gravity: bool = False
+    disable_limit: bool = False
+    disable_eulerdamp: bool = False
+
+
+@pytree_dataclass
+class Model:
+    """Compiled model. See module docstring for leaf/static split."""
+
+    # ----- sizes (static) -----
+    nq: int = static_field()
+    nv: int = static_field()
+    nu: int = static_field()
+    na: int = static_field()
+    nbody: int = static_field()
+    njnt: int = static_field()
+    ngeom: int = static_field()
+    nsite: int = static_field()
+    neq: int = static_field()
+    nmocap: int = static_field()
+
+    opt: Option = static_field()
+
+    # ----- structural topology (static tuples of python ints) -----
+    body_parentid: tuple = static_field()
+    body_rootid: tuple = static_field()
+    body_weldid: tuple = static_field()
+    body_jntadr: tuple = static_field()   # -1 if no joints
+    body_jntnum: tuple = static_field()
+    body_dofadr: tuple = static_field()   # -1 if no dofs
+    body_dofnum: tuple = static_field()
+    body_geomadr: tuple = static_field()
+    body_geomnum: tuple = static_field()
+    body_mocapid: tuple = static_field()  # -1 if not mocap
+
+    jnt_type: tuple = static_field()
+    jnt_qposadr: tuple = static_field()
+    jnt_dofadr: tuple = static_field()
+    jnt_bodyid: tuple = static_field()
+    jnt_limited: tuple = static_field()
+    jnt_actfrclimited: tuple = static_field()
+
+    dof_bodyid: tuple = static_field()
+    dof_jntid: tuple = static_field()
+    dof_parentid: tuple = static_field()  # -1 for tree roots
+
+    geom_type: tuple = static_field()
+    geom_bodyid: tuple = static_field()
+    geom_contype: tuple = static_field()
+    geom_conaffinity: tuple = static_field()
+    geom_condim: tuple = static_field()
+    geom_priority: tuple = static_field()
+
+    site_bodyid: tuple = static_field()
+
+    actuator_trntype: tuple = static_field()
+    actuator_trnid: tuple = static_field()
+    actuator_gaintype: tuple = static_field()
+    actuator_biastype: tuple = static_field()
+    actuator_dyntype: tuple = static_field()
+    actuator_ctrllimited: tuple = static_field()
+    actuator_forcelimited: tuple = static_field()
+    actuator_actadr: tuple = static_field()  # -1 if stateless
+    actuator_actnum: tuple = static_field()
+
+    eq_type: tuple = static_field()
+    eq_obj1id: tuple = static_field()
+    eq_obj2id: tuple = static_field()
+    eq_active0: tuple = static_field()
+
+    # candidate contact pairs, grouped by (type1, type2) at compile time:
+    # dict-like tuple of (type1, type2, ((g1, g2), ...)) entries
+    pair_groups: tuple = static_field()
+    # condim per candidate pair in flattened group order
+    pair_condim: tuple = static_field()
+
+    # ----- name tables (static) -----
+    names: Any = static_field()  # NameTables
+
+    # ----- numeric parameters (array leaves) -----
+    qpos0: jax.Array
+    qpos_spring: jax.Array
+
+    body_pos: jax.Array       # (nbody, 3)
+    body_quat: jax.Array      # (nbody, 4)
+    body_ipos: jax.Array      # (nbody, 3)
+    body_iquat: jax.Array     # (nbody, 4)
+    body_mass: jax.Array      # (nbody,)
+    body_inertia: jax.Array   # (nbody, 3)
+    body_subtreemass: jax.Array  # (nbody,)
+
+    jnt_pos: jax.Array        # (njnt, 3)
+    jnt_axis: jax.Array       # (njnt, 3)
+    jnt_range: jax.Array      # (njnt, 2)
+    jnt_stiffness: jax.Array  # (njnt,)
+    jnt_margin: jax.Array     # (njnt,)
+    jnt_solref: jax.Array     # (njnt, 2) limit solref
+    jnt_solimp: jax.Array     # (njnt, 5) limit solimp
+
+    dof_armature: jax.Array   # (nv,)
+    dof_damping: jax.Array    # (nv,)
+    dof_frictionloss: jax.Array  # (nv,)
+    dof_solref: jax.Array     # (nv, 2) friction solref
+    dof_solimp: jax.Array     # (nv, 5)
+
+    geom_pos: jax.Array       # (ngeom, 3)
+    geom_quat: jax.Array      # (ngeom, 4)
+    geom_size: jax.Array      # (ngeom, 3)
+    geom_friction: jax.Array  # (ngeom, 3)
+    geom_margin: jax.Array    # (ngeom,)
+    geom_gap: jax.Array       # (ngeom,)
+    geom_solref: jax.Array    # (ngeom, 2)
+    geom_solimp: jax.Array    # (ngeom, 5)
+    geom_solmix: jax.Array    # (ngeom,)
+    geom_rbound: jax.Array    # (ngeom,) bounding sphere radius (0 for plane)
+
+    site_pos: jax.Array       # (nsite, 3)
+    site_quat: jax.Array      # (nsite, 4)
+
+    actuator_gear: jax.Array       # (nu, 6)
+    actuator_ctrlrange: jax.Array  # (nu, 2)
+    actuator_forcerange: jax.Array # (nu, 2)
+    actuator_actrange: jax.Array   # (nu, 2)
+    actuator_gainprm: jax.Array    # (nu, 10)
+    actuator_biasprm: jax.Array    # (nu, 10)
+    actuator_dynprm: jax.Array     # (nu, 10)
+
+    eq_data: jax.Array        # (neq, 11)
+    eq_solref: jax.Array      # (neq, 2)
+    eq_solimp: jax.Array      # (neq, 5)
+
+    # per-candidate-pair precomputed contact params (flattened group order)
+    pair_geom1: jax.Array     # (npair,) int32
+    pair_geom2: jax.Array     # (npair,) int32
+    pair_friction: jax.Array  # (npair, 5)
+    pair_solref: jax.Array    # (npair, 2)
+    pair_solimp: jax.Array    # (npair, 5)
+    pair_margin: jax.Array    # (npair,)
+    pair_gap: jax.Array       # (npair,)
+
+    # ----- derived helpers -----
+
+    @property
+    def npair(self) -> int:
+        return len(self.pair_condim)
+
+    def name2id(self, objtype: str, name: str) -> int:
+        """Name -> index lookup (reference: Physics::object_id,
+        /root/reference/src/physics.rs:56-58). Returns -1 if absent."""
+        return self.names.name2id(objtype, name)
+
+    def id2name(self, objtype: str, idx: int) -> str:
+        """Index -> name (reference: Physics::object_name,
+        /root/reference/src/physics.rs:60-62)."""
+        return self.names.id2name(objtype, idx)
+
+    def astype(self, dtype) -> "Model":
+        """Cast float array leaves to `dtype` (e.g. f32 for TPU runs)."""
+        def cast(x):
+            if isinstance(x, (jax.Array, np.ndarray)) and jnp.issubdtype(
+                x.dtype, jnp.floating
+            ):
+                return jnp.asarray(x, dtype=dtype)
+            return jnp.asarray(x)
+
+        return jax.tree.map(cast, self)
+
+
+@dataclasses.dataclass(frozen=True)
+class NameTables:
+    """Hashable bidirectional name<->index maps per object type."""
+
+    body: tuple = ()
+    joint: tuple = ()
+    geom: tuple = ()
+    site: tuple = ()
+    actuator: tuple = ()
+    equality: tuple = ()
+
+    _TYPES = ("body", "joint", "geom", "site", "actuator", "equality")
+
+    def name2id(self, objtype: str, name: str) -> int:
+        table = getattr(self, objtype)
+        try:
+            return table.index(name)
+        except ValueError:
+            return -1
+
+    def id2name(self, objtype: str, idx: int) -> str:
+        table = getattr(self, objtype)
+        if 0 <= idx < len(table):
+            return table[idx]
+        return ""

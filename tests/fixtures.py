@@ -1,0 +1,117 @@
+"""Shared MJCF test fixtures used by compiler and golden-trajectory tests."""
+
+PENDULUM = """
+<mujoco model="pendulum">
+  <option timestep="0.002" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body name="pole" pos="0 0 1.2">
+      <joint name="hinge" type="hinge" axis="0 1 0" damping="0.1"/>
+      <geom name="rod" type="capsule" fromto="0 0 0 0 0 0.6" size="0.02" mass="1.2"/>
+      <site name="tip" pos="0 0 0.6"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor name="torque" joint="hinge" gear="1.5" ctrlrange="-1 1"/>
+  </actuator>
+</mujoco>
+"""
+
+CARTPOLE = """
+<mujoco model="cartpole">
+  <option timestep="0.002"/>
+  <worldbody>
+    <body name="cart" pos="0 0 1">
+      <joint name="slider" type="slide" axis="1 0 0" range="-1.8 1.8" damping="0.05"/>
+      <geom name="cart_geom" type="box" size="0.1 0.05 0.05" mass="1.0"/>
+      <body name="pole" pos="0 0 0">
+        <joint name="pole_hinge" type="hinge" axis="0 1 0" damping="0.01"/>
+        <geom name="pole_geom" type="capsule" fromto="0 0 0 0 0 0.6" size="0.015" mass="0.3"/>
+        <site name="pole_tip" pos="0 0 0.6"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor name="slide_motor" joint="slider" gear="5" ctrlrange="-1 1"/>
+  </actuator>
+</mujoco>
+"""
+
+# planar two-legged hopper-like model with contacts (capsules on a plane)
+PLANAR_WALKER = """
+<mujoco model="planar_walker">
+  <option timestep="0.002" solver="CG" iterations="30" tolerance="0"/>
+  <default>
+    <joint damping="0.1" armature="0.01"/>
+    <geom friction="0.7 0.005 0.0001" solref="0.02 1" solimp="0.9 0.95 0.001 0.5 2"/>
+  </default>
+  <worldbody>
+    <geom name="floor" type="plane" size="10 10 0.1"/>
+    <body name="torso" pos="0 0 0.7">
+      <joint name="rootx" type="slide" axis="1 0 0" damping="0" armature="0"/>
+      <joint name="rootz" type="slide" axis="0 0 1" damping="0" armature="0"/>
+      <joint name="rooty" type="hinge" axis="0 1 0" damping="0" armature="0"/>
+      <geom name="torso_geom" type="capsule" fromto="0 0 -0.15 0 0 0.15" size="0.05" mass="3"/>
+      <body name="thigh" pos="0 0 -0.15">
+        <joint name="hip" type="hinge" axis="0 1 0" range="-1.0 1.0"/>
+        <geom name="thigh_geom" type="capsule" fromto="0 0 0 0 0 -0.25" size="0.04" mass="1"/>
+        <body name="shin" pos="0 0 -0.25">
+          <joint name="knee" type="hinge" axis="0 1 0" range="-1.5 0.1"/>
+          <geom name="shin_geom" type="capsule" fromto="0 0 0 0 0 -0.25" size="0.03" mass="0.6"/>
+        </body>
+      </body>
+      <body name="thigh2" pos="0 0 -0.15">
+        <joint name="hip2" type="hinge" axis="0 1 0" range="-1.0 1.0"/>
+        <geom name="thigh2_geom" type="capsule" fromto="0 0 0 0 0.02 -0.25" size="0.04" mass="1"/>
+        <body name="shin2" pos="0 0.02 -0.25">
+          <joint name="knee2" type="hinge" axis="0 1 0" range="-1.5 0.1"/>
+          <geom name="shin2_geom" type="capsule" fromto="0 0 0 0 0 -0.25" size="0.03" mass="0.6"/>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor joint="hip" gear="30" ctrlrange="-1 1"/>
+    <motor joint="knee" gear="30" ctrlrange="-1 1"/>
+    <motor joint="hip2" gear="30" ctrlrange="-1 1"/>
+    <motor joint="knee2" gear="30" ctrlrange="-1 1"/>
+  </actuator>
+</mujoco>
+"""
+
+FREE_BODY = """
+<mujoco model="free_body">
+  <option timestep="0.002" solver="CG" iterations="30" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <body name="ball" pos="0.1 -0.2 0.5">
+      <freejoint name="root"/>
+      <geom name="sphere_geom" type="sphere" size="0.12" mass="0.8"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+BALL_JOINT = """
+<mujoco model="ball_pendulum">
+  <option timestep="0.002"/>
+  <worldbody>
+    <body name="arm" pos="0 0 1">
+      <joint name="swivel" type="ball" damping="0.05"/>
+      <geom name="arm_geom" type="capsule" fromto="0 0 0 0.05 0.1 -0.4" size="0.02" mass="0.5"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+EULER_ORIENT = """
+<mujoco model="euler_orient">
+  <compiler angle="degree"/>
+  <worldbody>
+    <body name="b1" pos="0.1 0.2 0.3" euler="30 20 10">
+      <joint name="j1" type="hinge" axis="1 1 0" ref="15" springref="5" stiffness="2"/>
+      <geom name="g1" type="box" size="0.1 0.2 0.15" pos="0.05 0 0" euler="0 45 0" mass="2"/>
+      <geom name="g2" type="sphere" size="0.08" pos="-0.1 0.05 0.02" mass="0.5"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
