@@ -1020,9 +1020,9 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
     pair_gap = np.array([p["gap"] for p in pair_entries]).reshape(npair)
     pair_condim = tuple(int(p["condim"]) for p in pair_entries)
 
-    f = lambda x: np.asarray(x, dtype=dtype)
+    f = lambda x: np.asarray(x, dtype=np.float64)
 
-    return Model(
+    model = Model(
         nq=nq, nv=nv, nu=nu, na=0, nbody=nbody, njnt=njnt, ngeom=ngeom,
         nsite=nsite, neq=neq, nmocap=nmocap,
         opt=opt,
@@ -1084,8 +1084,11 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         jnt_margin=f(jnt_margin),
         jnt_solref=f(jnt_solref),
         jnt_solimp=f(jnt_solimp),
+        any_damping=bool(np.any(dof_damping > 0)),
         dof_armature=f(dof_armature),
         dof_damping=f(dof_damping),
+        dof_invweight0=f(np.zeros(nv)),
+        body_invweight0=f(np.zeros((nbody, 2))),
         dof_frictionloss=f(dof_frictionloss),
         dof_solref=f(dof_solref),
         dof_solimp=f(dof_solimp),
@@ -1118,6 +1121,160 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         pair_solimp=f(pair_solimp),
         pair_margin=f(pair_margin),
         pair_gap=f(pair_gap),
+    )
+    model = _set_const(model)
+    if dtype != np.float64:
+        model = model.astype(dtype)
+    return model
+
+
+def _set_const(model: Model) -> Model:
+    """Compute qpos0-dependent constants (mj_setConst analog):
+    dof_invweight0 = diag(M^-1) and body_invweight0 = mean diagonal of the
+    body-com end-effector inverse inertia, both at the default pose.
+
+    Pure numpy: model compilation is host-side and must never touch a
+    device.  FK at qpos0 is trivial (every joint is at its reference), so
+    only parent-frame accumulation is needed.
+    """
+    from ..physics import smooth as _smooth  # static mask helpers only
+
+    nv, nbody = model.nv, model.nbody
+    if nv == 0:
+        return model
+
+    body_pos = np.asarray(model.body_pos, dtype=np.float64)
+    body_quat = np.asarray(model.body_quat, dtype=np.float64)
+    body_ipos = np.asarray(model.body_ipos, dtype=np.float64)
+    body_iquat = np.asarray(model.body_iquat, dtype=np.float64)
+    body_mass = np.asarray(model.body_mass, dtype=np.float64)
+    body_inertia = np.asarray(model.body_inertia, dtype=np.float64)
+    jnt_pos = np.asarray(model.jnt_pos, dtype=np.float64)
+    jnt_axis = np.asarray(model.jnt_axis, dtype=np.float64)
+
+    # FK at qpos0: all joint transforms are identity
+    xpos = np.zeros((nbody, 3))
+    xmat = np.tile(np.eye(3), (nbody, 1, 1))
+    for b in range(1, nbody):
+        p = model.body_parentid[b]
+        xpos[b] = xpos[p] + xmat[p] @ body_pos[b]
+        xmat[b] = xmat[p] @ _quat_to_mat(body_quat[b])
+    xipos = xpos + np.einsum("bij,bj->bi", xmat, body_ipos)
+    ximat = np.einsum(
+        "bij,bjk->bik", xmat, np.stack([_quat_to_mat(q) for q in body_iquat])
+    )
+
+    # subtree com
+    sub = np.zeros((nbody, 3))
+    subm = np.zeros(nbody)
+    for b in range(nbody - 1, -1, -1):
+        subm[b] += body_mass[b]
+        sub[b] += body_mass[b] * xipos[b]
+        if b > 0:
+            p = model.body_parentid[b]
+            subm[p] += subm[b]
+            sub[p] += sub[b]
+    sub_com = np.where(
+        (subm > 0)[:, None], sub / np.maximum(subm, 1e-12)[:, None], xpos
+    )
+
+    # spatial inertias about subtree_com[rootid]
+    cin_i = np.zeros((nbody, 3, 3))
+    cin_h = np.zeros((nbody, 3))
+    for b in range(nbody):
+        origin = sub_com[model.body_rootid[b]]
+        c = xipos[b] - origin
+        i_c = ximat[b] @ np.diag(body_inertia[b]) @ ximat[b].T
+        cin_i[b] = i_c + body_mass[b] * (np.dot(c, c) * np.eye(3) - np.outer(c, c))
+        cin_h[b] = body_mass[b] * c
+
+    # cdof
+    cdof = np.zeros((nv, 6))
+    from ..model import JointType as _JT
+
+    for j in range(model.njnt):
+        jt = model.jnt_type[j]
+        vadr = model.jnt_dofadr[j]
+        b = model.jnt_bodyid[j]
+        com = sub_com[model.body_rootid[b]]
+        anchor = xpos[b] + xmat[b] @ jnt_pos[j]
+        axis_w = xmat[b] @ jnt_axis[j]
+        if jt == _JT.FREE:
+            for i in range(3):
+                cdof[vadr + i, 3 + i] = 1.0
+            off = com - xpos[b]
+            for i in range(3):
+                ax = xmat[b][:, i]
+                cdof[vadr + 3 + i] = np.concatenate([ax, np.cross(ax, off)])
+        elif jt == _JT.BALL:
+            off = com - anchor
+            for i in range(3):
+                ax = xmat[b][:, i]
+                cdof[vadr + i] = np.concatenate([ax, np.cross(ax, off)])
+        elif jt == _JT.SLIDE:
+            cdof[vadr] = np.concatenate([np.zeros(3), axis_w])
+        else:
+            off = com - anchor
+            cdof[vadr] = np.concatenate([axis_w, np.cross(axis_w, off)])
+
+    # CRB -> dense M
+    crb_i = cin_i.copy()
+    crb_h = cin_h.copy()
+    crb_m = body_mass.copy()
+    for b in range(nbody - 1, 0, -1):
+        p = model.body_parentid[b]
+        crb_i[p] += crb_i[b]
+        crb_h[p] += crb_h[b]
+        crb_m[p] += crb_m[b]
+
+    anc = _smooth.dof_ancestor_mask(model)
+    m_mat = np.zeros((nv, nv))
+    for i in range(nv):
+        bi = model.dof_bodyid[i]
+        w, v = cdof[i, :3], cdof[i, 3:]
+        f = np.concatenate(
+            [crb_i[bi] @ w + np.cross(crb_h[bi], v), crb_m[bi] * v - np.cross(crb_h[bi], w)]
+        )
+        for j in range(nv):
+            if anc[i, j]:
+                m_mat[i, j] = np.dot(cdof[j], f)
+                m_mat[j, i] = m_mat[i, j]
+    m_mat += np.diag(np.asarray(model.dof_armature, dtype=np.float64))
+
+    m_inv = np.linalg.inv(m_mat)
+    dof_invweight0 = np.diag(m_inv).copy()
+    # MuJoCo averages the inverse-inertia diagonal over multi-dof joint
+    # blocks (ball: 3 dofs; free: translation and rotation blocks separately)
+    for j in range(model.njnt):
+        jt = model.jnt_type[j]
+        vadr = model.jnt_dofadr[j]
+        if jt == _JT.BALL:
+            dof_invweight0[vadr : vadr + 3] = dof_invweight0[vadr : vadr + 3].mean()
+        elif jt == _JT.FREE:
+            dof_invweight0[vadr : vadr + 3] = dof_invweight0[vadr : vadr + 3].mean()
+            dof_invweight0[vadr + 3 : vadr + 6] = dof_invweight0[
+                vadr + 3 : vadr + 6
+            ].mean()
+
+    mask = _smooth.body_dof_mask(model)
+    body_invweight0 = np.zeros((nbody, 2))
+    for b in range(1, nbody):
+        origin = sub_com[model.body_rootid[b]]
+        jacp = np.zeros((3, nv))
+        jacr = np.zeros((3, nv))
+        for i in range(nv):
+            if mask[b, i]:
+                ang, lin = cdof[i, :3], cdof[i, 3:]
+                jacp[:, i] = lin + np.cross(ang, xipos[b] - origin)
+                jacr[:, i] = ang
+        a_t = jacp @ m_inv @ jacp.T
+        a_r = jacr @ m_inv @ jacr.T
+        body_invweight0[b, 0] = np.trace(a_t) / 3.0
+        body_invweight0[b, 1] = np.trace(a_r) / 3.0
+
+    return model.replace(
+        dof_invweight0=np.asarray(dof_invweight0),
+        body_invweight0=np.asarray(body_invweight0),
     )
 
 

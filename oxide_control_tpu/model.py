@@ -189,6 +189,10 @@ class Model:
     # condim per candidate pair in flattened group order
     pair_condim: tuple = static_field()
 
+    # True if any dof has positive damping (drives the implicit-damping
+    # branch of the Euler integrator; static so the branch is compile-time)
+    any_damping: bool = static_field()
+
     # ----- name tables (static) -----
     names: Any = static_field()  # NameTables
 
@@ -214,6 +218,8 @@ class Model:
 
     dof_armature: jax.Array   # (nv,)
     dof_damping: jax.Array    # (nv,)
+    dof_invweight0: jax.Array # (nv,) diag(M^-1) at qpos0 (mj_setConst analog)
+    body_invweight0: jax.Array  # (nbody, 2) [trans, rot] inverse weight at qpos0
     dof_frictionloss: jax.Array  # (nv,)
     dof_solref: jax.Array     # (nv, 2) friction solref
     dof_solimp: jax.Array     # (nv, 5)

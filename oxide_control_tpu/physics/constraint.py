@@ -1,0 +1,400 @@
+"""Constraint assembly + primal CG solver (SURVEY.md §7 stage 4).
+
+Re-implements MuJoCo's soft-constraint model — position-dependent impedance
+d(r), reference acceleration aref = -b*vel - k*pos, diagonal regularizer
+R = (1-d)/d * diagApprox — and its projected nonlinear CG solver, as pure
+vmap-friendly JAX.  All constraint rows exist *statically* (fixed shapes)
+with runtime existence masks: the batched analog of MuJoCo's variable-length
+efc arrays (lockstep envs cannot change shape).
+
+Row order matches MuJoCo: equality, joint limits, contacts (pyramidal).
+The reference reaches this stage through ``mj_step``
+(/root/reference/src/physics.rs:44-46); with
+``<option solver="CG" iterations="N" tolerance="0"/>`` CPU MuJoCo runs the
+same deterministic algorithm, enabling tight golden-trajectory tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..model import EqType, JointType, Model
+from ..state import Data
+from .collision import contact_condims, max_contacts_per_pair
+from . import smooth
+
+_BIG = 1e12
+
+# ---------------------------------------------------------------------------
+# static row layout
+# ---------------------------------------------------------------------------
+
+
+def _limit_joints(model: Model) -> list[int]:
+    out = []
+    for j in range(model.njnt):
+        if not model.jnt_limited[j]:
+            continue
+        if model.jnt_type[j] not in (JointType.HINGE, JointType.SLIDE):
+            raise NotImplementedError("ball/free joint limits not supported yet")
+        out.append(j)
+    return out
+
+
+def _lane_bodies(model: Model) -> list[tuple[int, int]]:
+    """Static (body1, body2) per contact lane, flattened in pair order."""
+    out = []
+    for (t1, t2, pairs) in model.pair_groups:
+        k = max_contacts_per_pair(t1, t2)
+        for (g1, g2) in pairs:
+            out.extend([(model.geom_bodyid[g1], model.geom_bodyid[g2])] * k)
+    return out
+
+
+def nefc(model: Model) -> int:
+    """Static efc row count (rows may be inactive at runtime)."""
+    n = 0
+    for t in model.eq_type:
+        n += {EqType.CONNECT: 3, EqType.WELD: 6, EqType.JOINT: 1}[EqType(t)]
+    n += len(_limit_joints(model))
+    for condim in contact_condims(model):
+        n += {1: 1, 3: 4, 4: 6, 6: 10}[condim]
+    return n
+
+
+# ---------------------------------------------------------------------------
+# impedance / reference acceleration
+# ---------------------------------------------------------------------------
+
+
+def _impedance(solimp, pos):
+    """d(r) from solimp = [dmin, dmax, width, midpoint, power]."""
+    dmin, dmax, width = solimp[..., 0], solimp[..., 1], solimp[..., 2]
+    mid = jnp.clip(solimp[..., 3], 0.0001, 0.9999)
+    power = jnp.maximum(solimp[..., 4], 1.0)
+    x = jnp.abs(pos) / jnp.where(width > 0, width, 1.0)
+    x = jnp.clip(x, 0.0, 1.0)
+    a = 1.0 / jnp.power(mid, power - 1.0)
+    b = 1.0 / jnp.power(1.0 - mid, power - 1.0)
+    y = jnp.where(
+        x < mid, a * jnp.power(x, power), 1.0 - b * jnp.power(1.0 - x, power)
+    )
+    imp = dmin + y * (dmax - dmin)
+    imp = jnp.where(width > 0, imp, dmin)
+    return jnp.clip(imp, 0.0001, 0.9999)
+
+
+def _kbi(model: Model, solref, solimp, pos):
+    """(k, b, impedance) per MuJoCo's solver-parameter transformation."""
+    dmax = solimp[..., 1]
+    imp = _impedance(solimp, pos)
+    tc = jnp.maximum(solref[..., 0], 2.0 * model.opt.timestep)
+    dr = solref[..., 1]
+    b = 2.0 / (dmax * tc)
+    k = 1.0 / (dmax * dmax * tc * tc * dr * dr)
+    direct = (solref[..., 0] <= 0) & (solref[..., 1] <= 0)
+    k = jnp.where(direct, -solref[..., 0], k)
+    b = jnp.where(direct, -solref[..., 1], b)
+    return k, b, imp
+
+
+# ---------------------------------------------------------------------------
+# efc assembly
+# ---------------------------------------------------------------------------
+
+
+def _point_jac(model: Model, d: Data, point: jax.Array, body: int) -> jax.Array:
+    """(3, nv) translational Jacobian of world `point` on `body` (mj_jac)."""
+    origin = d.subtree_com[model.body_rootid[body]]
+    mask = smooth.body_dof_mask(model)[body]  # static numpy (nv,)
+    ang = d.cdof[:, :3]
+    lin = d.cdof[:, 3:]
+    jacp = lin + jnp.cross(ang, point - origin)
+    m = jnp.asarray(mask, dtype=d.qpos.dtype)[:, None]
+    return (jacp * m).T
+
+
+class _Rows:
+    """Accumulator for efc rows (trace-time python; fixed count)."""
+
+    def __init__(self, dtype, nv):
+        self.dtype = dtype
+        self.nv = nv
+        self.J, self.pos, self.aref, self.D = [], [], [], []
+        self.exists, self.unilateral = [], []
+
+    def add(self, model, J, pos, solref, solimp, diag_approx, exists,
+            unilateral, vel):
+        k, b, imp = _kbi(model, solref, solimp, pos)
+        aref = -b * vel - k * imp * pos
+        dd = imp / (1.0 - imp) / jnp.maximum(diag_approx, 1e-12)
+        self.J.append(J)
+        self.pos.append(jnp.asarray(pos, dtype=self.dtype))
+        self.aref.append(jnp.asarray(aref, dtype=self.dtype))
+        self.D.append(jnp.asarray(dd, dtype=self.dtype))
+        self.exists.append(jnp.asarray(exists))
+        self.unilateral.append(bool(unilateral))
+
+
+def make_efc(model: Model, d: Data):
+    """Assemble all constraint rows. Returns None if the model can have no
+    constraints, else a dict of (nefc, ...) arrays + static unilateral mask.
+    """
+    dtype = d.qpos.dtype
+    nv = model.nv
+    rows = _Rows(dtype, nv)
+    iw_dof = model.dof_invweight0
+
+    # ----- equality -----
+    for e in range(model.neq):
+        et = EqType(model.eq_type[e])
+        solref, solimp = model.eq_solref[e], model.eq_solimp[e]
+        active = d.eq_active[e]
+        if et == EqType.JOINT:
+            j1, j2 = model.eq_obj1id[e], model.eq_obj2id[e]
+            a1, v1 = model.jnt_qposadr[j1], model.jnt_dofadr[j1]
+            poly = model.eq_data[e][:5]
+            if j2 >= 0:
+                a2, v2 = model.jnt_qposadr[j2], model.jnt_dofadr[j2]
+                dif = d.qpos[a2] - model.qpos0[a2]
+                powers = jnp.stack([dif**i for i in range(5)])
+                pos = (d.qpos[a1] - model.qpos0[a1]) - jnp.dot(poly, powers)
+                dpoly = jnp.dot(
+                    poly[1:],
+                    jnp.stack([(i + 1.0) * dif**i for i in range(4)]),
+                )
+                J = jnp.zeros(nv, dtype=dtype).at[v1].set(1.0).at[v2].add(-dpoly)
+                dap = iw_dof[v1] + iw_dof[v2]
+            else:
+                pos = (d.qpos[a1] - model.qpos0[a1]) - poly[0]
+                J = jnp.zeros(nv, dtype=dtype).at[v1].set(1.0)
+                dap = iw_dof[v1]
+            rows.add(model, J, pos, solref, solimp, dap, active, False,
+                     vel=jnp.dot(J, d.qvel))
+        elif et == EqType.CONNECT:
+            b1 = model.eq_obj1id[e]
+            b2 = max(model.eq_obj2id[e], 0)
+            p1 = d.xpos[b1] + d.xmat[b1] @ model.eq_data[e][:3]
+            p2 = d.xpos[b2] + d.xmat[b2] @ model.eq_data[e][3:6]
+            jdiff = _point_jac(model, d, p1, b1) - _point_jac(model, d, p2, b2)
+            cpos = p1 - p2
+            dap = model.body_invweight0[b1][0] + model.body_invweight0[b2][0]
+            for i in range(3):
+                rows.add(model, jdiff[i], cpos[i], solref, solimp, dap,
+                         active, False, vel=jnp.dot(jdiff[i], d.qvel))
+        else:
+            raise NotImplementedError("weld equality not yet implemented")
+
+    # ----- joint limits -----
+    for j in _limit_joints(model):
+        qadr, vadr = model.jnt_qposadr[j], model.jnt_dofadr[j]
+        lo, hi = model.jnt_range[j][0], model.jnt_range[j][1]
+        dist_lo = d.qpos[qadr] - lo
+        dist_hi = hi - d.qpos[qadr]
+        use_lo = dist_lo < dist_hi
+        dist = jnp.minimum(dist_lo, dist_hi)
+        sign = jnp.where(use_lo, 1.0, -1.0)
+        margin = model.jnt_margin[j]
+        exists = dist < margin
+        pos = jnp.where(exists, dist - margin, 0.0)
+        J = jnp.zeros(nv, dtype=dtype).at[vadr].set(1.0) * sign
+        rows.add(model, J, pos, model.jnt_solref[j], model.jnt_solimp[j],
+                 iw_dof[vadr], exists, True, vel=sign * d.qvel[vadr])
+
+    # ----- contacts (pyramidal) -----
+    condims = contact_condims(model)
+    bodies = _lane_bodies(model)
+    con = d.contact
+    for ci, condim in enumerate(condims):
+        b1, b2 = bodies[ci]
+        dist = con.dist[ci]
+        margin = con.includemargin[ci]
+        exists = dist < margin
+        pos = jnp.where(exists, dist - margin, 0.0)
+        jdiff = (
+            _point_jac(model, d, con.pos[ci], b2)
+            - _point_jac(model, d, con.pos[ci], b1)
+        )  # (3, nv), velocity of b2 relative to b1 at contact point
+        frame = con.frame[ci]
+        jn = frame[0] @ jdiff
+        iw = model.body_invweight0[b1][0] + model.body_invweight0[b2][0]
+        solref, solimp = con.solref[ci], con.solimp[ci]
+        if condim == 1:
+            rows.add(model, jn, pos, solref, solimp, iw, exists, True,
+                     vel=jnp.dot(jn, d.qvel))
+        elif condim == 3:
+            mu = con.friction[ci]
+            for ti in range(2):
+                jt = frame[1 + ti] @ jdiff
+                for sgn in (1.0, -1.0):
+                    J = jn + sgn * mu[ti] * jt
+                    dap = iw * 2.0 * (1.0 + mu[ti] * mu[ti])
+                    rows.add(model, J, pos, solref, solimp, dap, exists, True,
+                             vel=jnp.dot(J, d.qvel))
+        else:
+            raise NotImplementedError(f"condim {condim} not yet supported")
+
+    if not rows.J:
+        return None
+    return dict(
+        J=jnp.stack(rows.J),
+        pos=jnp.stack(rows.pos),
+        aref=jnp.stack(rows.aref),
+        D=jnp.stack(rows.D),
+        exists=jnp.stack(rows.exists),
+        unilateral=np.array(rows.unilateral),  # static (nefc,)
+    )
+
+
+# ---------------------------------------------------------------------------
+# primal CG solver (mj_solCG analog, fixed iteration count)
+# ---------------------------------------------------------------------------
+
+
+def _efc_force(efc, jar):
+    act = jnp.asarray(~efc["unilateral"]) | (jar < 0)
+    act = act & efc["exists"]
+    return jnp.where(act, -efc["D"] * jar, 0.0)
+
+
+def _cost(efc, x, qacc_smooth, jar, qM):
+    dx = x - qacc_smooth
+    gauss = 0.5 * jnp.dot(dx, qM @ dx)
+    act = (jnp.asarray(~efc["unilateral"]) | (jar < 0)) & efc["exists"]
+    return gauss + 0.5 * jnp.sum(jnp.where(act, efc["D"] * jar * jar, 0.0))
+
+
+def _linesearch(efc, jar, jp, d0_gauss, slope_gauss):
+    """Exact minimization of the piecewise-quadratic cost along direction p.
+
+    phi'(alpha) = d0_gauss + alpha*slope_gauss
+                  + sum_i act_i(alpha) * D_i * Jp_i * (Jar_i + alpha*Jp_i)
+    where unilateral rows are active iff Jar_i + alpha*Jp_i < 0.
+    phi' is nondecreasing (convex cost); find its zero crossing exactly by
+    scanning the sorted activity breakpoints.
+    """
+    uni = jnp.asarray(efc["unilateral"]) & efc["exists"]
+    eq = jnp.asarray(~efc["unilateral"]) & efc["exists"]
+    D, = (efc["D"],)
+
+    def dphi(alpha):
+        jar_a = jar + alpha * jp
+        act = (eq | (uni & (jar_a < 0)))
+        return (
+            d0_gauss
+            + alpha * slope_gauss
+            + jnp.sum(jnp.where(act, D * jp * jar_a, 0.0))
+        )
+
+    # breakpoints where unilateral rows flip activity
+    valid = uni & (jnp.abs(jp) > 1e-15)
+    alpha_b = jnp.where(valid, -jar / jnp.where(valid, jp, 1.0), _BIG)
+    alpha_b = jnp.where(alpha_b > 0, alpha_b, _BIG)
+    alpha_s = jnp.sort(alpha_b)
+    # clip evaluation points to avoid inf in low precision; crossing at _BIG
+    # is handled by the extrapolation branch
+    alpha_eval = jnp.minimum(alpha_s, 1e8)
+    d_at = jax.vmap(dphi)(alpha_eval)
+
+    d_0 = dphi(jnp.zeros((), dtype=jar.dtype))
+
+    # first index where derivative is >= 0
+    crossed = d_at >= 0
+    any_crossed = jnp.any(crossed)
+    k = jnp.argmax(crossed)  # first True (0 if none, guarded below)
+
+    prev_alpha = jnp.where(k > 0, alpha_eval[jnp.maximum(k - 1, 0)], 0.0)
+    prev_d = jnp.where(k > 0, d_at[jnp.maximum(k - 1, 0)], d_0)
+    cur_alpha = alpha_eval[k]
+    cur_d = d_at[k]
+    denom = cur_d - prev_d
+    frac = jnp.where(jnp.abs(denom) > 1e-30, -prev_d / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0), 0.0)
+    alpha_seg = prev_alpha + frac * (cur_alpha - prev_alpha)
+
+    # extrapolation when no breakpoint crossing: slope at +inf
+    act_inf = eq | (uni & (jp < 0))
+    slope_inf = slope_gauss + jnp.sum(jnp.where(act_inf, D * jp * jp, 0.0))
+    last_alpha = jnp.max(jnp.where(alpha_b < _BIG, alpha_eval, 0.0))
+    d_last = dphi(last_alpha)
+    alpha_ext = last_alpha - d_last / jnp.maximum(slope_inf, 1e-30)
+
+    alpha = jnp.where(any_crossed, alpha_seg, alpha_ext)
+    alpha = jnp.where(d_0 >= 0, 0.0, alpha)
+    return jnp.maximum(alpha, 0.0)
+
+
+def _solve_cg(model: Model, d: Data, efc):
+    """Nonlinear CG with exact line search and Polak-Ribiere restarts."""
+    qM = d.qM
+    chol = jnp.linalg.cholesky(qM)
+    solve_m = lambda v: jax.scipy.linalg.cho_solve((chol, True), v)
+    J = efc["J"]
+    aref = efc["aref"]
+    qacc_smooth = d.qacc_smooth
+    qfrc_smooth = d.qfrc_smooth
+
+    def cost_of(x):
+        jar = J @ x - aref
+        return _cost(efc, x, qacc_smooth, jar, qM), jar
+
+    # warmstart: better of (qacc_warmstart, qacc_smooth)
+    c_ws, jar_ws = cost_of(d.qacc_warmstart)
+    c_sm, jar_sm = cost_of(qacc_smooth)
+    use_ws = c_ws < c_sm
+    x0 = jnp.where(use_ws, d.qacc_warmstart, qacc_smooth)
+    jar0 = jnp.where(use_ws, jar_ws, jar_sm)
+
+    def grad_of(x, jar):
+        f = _efc_force(efc, jar)
+        return qM @ x - qfrc_smooth - J.T @ f
+
+    g0 = grad_of(x0, jar0)
+    mg0 = solve_m(g0)
+    p0 = -mg0
+
+    def body(_, carry):
+        x, jar, g, mg, p = carry
+        jp = J @ p
+        mp = qM @ p
+        d0_gauss = jnp.dot(p, qM @ x - qfrc_smooth)
+        slope_gauss = jnp.dot(p, mp)
+        alpha = _linesearch(efc, jar, jp, d0_gauss, slope_gauss)
+        x = x + alpha * p
+        jar = jar + alpha * jp
+        g_new = grad_of(x, jar)
+        mg_new = solve_m(g_new)
+        denom = jnp.dot(g, mg)
+        beta = jnp.dot(g_new, mg_new - mg) / jnp.where(denom > 1e-30, denom, 1.0)
+        beta = jnp.maximum(beta, 0.0)
+        p = -mg_new + beta * p
+        return x, jar, g_new, mg_new, p
+
+    x, jar, *_ = jax.lax.fori_loop(
+        0, model.opt.iterations, body, (x0, jar0, g0, mg0, p0)
+    )
+    f = _efc_force(efc, jar)
+    qfrc_constraint = J.T @ f
+    # MuJoCo reports the solver iterate itself as qacc (not re-derived from
+    # the forces), so match that for step-for-step parity.
+    return d.replace(
+        qacc=x,
+        qfrc_constraint=qfrc_constraint,
+        qacc_warmstart=x,
+        nefc_active=jnp.sum(efc["exists"].astype(jnp.int32)),
+    )
+
+
+def fwd_constraint(model: Model, d: Data) -> Data:
+    """mj_fwdConstraint analog: assemble rows, solve, store qacc + forces."""
+    efc = make_efc(model, d)
+    if efc is None:
+        return d.replace(
+            qacc=d.qacc_smooth,
+            qfrc_constraint=jnp.zeros_like(d.qvel),
+            qacc_warmstart=d.qacc_smooth,
+            nefc_active=jnp.zeros((), dtype=jnp.int32),
+        )
+    return _solve_cg(model, d, efc)

@@ -1,0 +1,508 @@
+"""Smooth (unconstrained) dynamics pipeline.
+
+TPU-native re-implementation of the smooth-dynamics stages MuJoCo's
+``mj_step`` runs inside the C engine (invoked by the reference at
+/root/reference/src/physics.rs:44-46): kinematics, com-based quantities,
+CRB inertia, velocity quantities, RNE bias forces, passive forces,
+actuation, and smooth acceleration.
+
+Everything is a pure function of ``(Model, Data)`` on a *single* env;
+batching is applied with ``jax.vmap`` at the environment layer.  Loops over
+bodies/joints are Python loops over the model's static structure — they
+unroll at trace time into a fixed fused XLA graph (models are small:
+nbody <= ~20 for the control suite).
+
+Spatial quantities follow MuJoCo's convention: motion/force vectors are
+``[angular; linear]`` referenced at the kinematic tree root's subtree
+center of mass (``subtree_com[body_rootid[b]]``), in world orientation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..model import JointType, Model, TrnType, GainType, BiasType
+from ..state import Data
+from . import maths
+
+
+# ---------------------------------------------------------------------------
+# static structure helpers (trace-time numpy; derived from static tuples)
+# ---------------------------------------------------------------------------
+
+
+def body_joints(model: Model, body: int) -> list[int]:
+    adr, num = model.body_jntadr[body], model.body_jntnum[body]
+    return list(range(adr, adr + num)) if adr >= 0 else []
+
+
+def dof_ancestor_mask(model: Model) -> np.ndarray:
+    """(nv, nv) bool: mask[i, j] = dof j is an ancestor of dof i (or i==j)."""
+    nv = model.nv
+    mask = np.zeros((nv, nv), dtype=bool)
+    for i in range(nv):
+        j = i
+        while j >= 0:
+            mask[i, j] = True
+            j = model.dof_parentid[j]
+    return mask
+
+
+def body_dof_mask(model: Model) -> np.ndarray:
+    """(nbody, nv) bool: mask[b, j] = dof j is in the ancestor chain of b."""
+    nbody, nv = model.nbody, model.nv
+    mask = np.zeros((nbody, nv), dtype=bool)
+    for b in range(nbody):
+        # last dof of b or nearest ancestor with dofs
+        body = b
+        last = -1
+        while body != 0:
+            if model.body_dofnum[body] > 0:
+                last = model.body_dofadr[body] + model.body_dofnum[body] - 1
+                break
+            body = model.body_parentid[body]
+        j = last
+        while j >= 0:
+            mask[b, j] = True
+            j = model.dof_parentid[j]
+    return mask
+
+
+def subtree_mask(model: Model) -> np.ndarray:
+    """(nbody, nbody) bool: mask[b, c] = c is in the subtree rooted at b."""
+    nbody = model.nbody
+    mask = np.zeros((nbody, nbody), dtype=bool)
+    for c in range(nbody):
+        b = c
+        while True:
+            mask[b, c] = True
+            if b == 0:
+                break
+            b = model.body_parentid[b]
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# mj_kinematics analog
+# ---------------------------------------------------------------------------
+
+
+def kinematics(model: Model, d: Data) -> Data:
+    """Forward kinematics: body/geom/site poses + joint anchors/axes."""
+    dtype = d.qpos.dtype
+    xpos = [jnp.zeros(3, dtype=dtype)]
+    xquat = [jnp.array([1.0, 0, 0, 0], dtype=dtype)]
+    xanchor = [None] * model.njnt
+    xaxis = [None] * model.njnt
+
+    for b in range(1, model.nbody):
+        p = model.body_parentid[b]
+        mid = model.body_mocapid[b]
+        if mid >= 0:
+            pos = d.mocap_pos[mid]
+            quat = maths.quat_normalize(d.mocap_quat[mid])
+        else:
+            pos = xpos[p] + maths.quat_rotate(xquat[p], model.body_pos[b])
+            quat = maths.quat_mul(xquat[p], model.body_quat[b])
+
+        jids = body_joints(model, b)
+        if len(jids) == 1 and model.jnt_type[jids[0]] == JointType.FREE:
+            j = jids[0]
+            qadr = model.jnt_qposadr[j]
+            pos = d.qpos[qadr : qadr + 3]
+            quat = maths.quat_normalize(d.qpos[qadr + 3 : qadr + 7])
+            xanchor[j] = pos
+            # MuJoCo keeps the free joint's axis unrotated (global z)
+            xaxis[j] = model.jnt_axis[j]
+        else:
+            for j in jids:
+                jt = model.jnt_type[j]
+                qadr = model.jnt_qposadr[j]
+                anchor = pos + maths.quat_rotate(quat, model.jnt_pos[j])
+                axis = maths.quat_rotate(quat, model.jnt_axis[j])
+                if jt == JointType.SLIDE:
+                    pos = pos + axis * (d.qpos[qadr] - model.qpos0[qadr])
+                elif jt == JointType.BALL:
+                    qloc = maths.quat_normalize(d.qpos[qadr : qadr + 4])
+                    quat = maths.quat_mul(quat, qloc)
+                    # keep anchor fixed: recompute body origin
+                    pos = anchor - maths.quat_rotate(quat, model.jnt_pos[j])
+                elif jt == JointType.HINGE:
+                    angle = d.qpos[qadr] - model.qpos0[qadr]
+                    qloc = maths.axis_angle_to_quat(model.jnt_axis[j], angle)
+                    quat = maths.quat_mul(quat, qloc)
+                    pos = anchor - maths.quat_rotate(quat, model.jnt_pos[j])
+                else:
+                    raise NotImplementedError(f"joint type {jt}")
+                xanchor[j] = anchor
+                xaxis[j] = axis
+
+        quat = maths.quat_normalize(quat)
+        xpos.append(pos)
+        xquat.append(quat)
+
+    xpos = jnp.stack(xpos)
+    xquat = jnp.stack(xquat)
+    xmat = maths.quat_to_mat(xquat)
+
+    if model.njnt:
+        xanchor = jnp.stack(xanchor)
+        xaxis = jnp.stack(xaxis)
+    else:
+        xanchor = jnp.zeros((0, 3), dtype=dtype)
+        xaxis = jnp.zeros((0, 3), dtype=dtype)
+
+    # inertial frames
+    xipos = xpos + jnp.einsum("bij,bj->bi", xmat, model.body_ipos)
+    ximat = jnp.einsum("bij,bjk->bik", xmat, maths.quat_to_mat(model.body_iquat))
+
+    # geoms / sites
+    gb = np.array(model.geom_bodyid, dtype=np.int32)
+    geom_xpos = xpos[gb] + jnp.einsum("gij,gj->gi", xmat[gb], model.geom_pos)
+    geom_xmat = jnp.einsum(
+        "gij,gjk->gik", xmat[gb], maths.quat_to_mat(model.geom_quat)
+    )
+    if model.nsite:
+        sb = np.array(model.site_bodyid, dtype=np.int32)
+        site_xpos = xpos[sb] + jnp.einsum("sij,sj->si", xmat[sb], model.site_pos)
+        site_xmat = jnp.einsum(
+            "sij,sjk->sik", xmat[sb], maths.quat_to_mat(model.site_quat)
+        )
+    else:
+        site_xpos = jnp.zeros((0, 3), dtype=dtype)
+        site_xmat = jnp.zeros((0, 3, 3), dtype=dtype)
+
+    return d.replace(
+        xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,
+        xanchor=xanchor, xaxis=xaxis, geom_xpos=geom_xpos, geom_xmat=geom_xmat,
+        site_xpos=site_xpos, site_xmat=site_xmat,
+    )
+
+
+# ---------------------------------------------------------------------------
+# mj_comPos analog: subtree com, cinert, cdof
+# ---------------------------------------------------------------------------
+
+
+def com_pos(model: Model, d: Data) -> Data:
+    sub = jnp.asarray(subtree_mask(model))  # (nbody, nbody)
+    mass = model.body_mass
+    wsum = jnp.einsum("bc,c,ci->bi", sub.astype(d.qpos.dtype), mass, d.xipos)
+    total = jnp.einsum("bc,c->b", sub.astype(d.qpos.dtype), mass)
+    safe_total = jnp.where(total > 0, total, 1.0)
+    subtree_com = wsum / safe_total[:, None]
+    # bodies with zero subtree mass: fall back to body frame origin
+    subtree_com = jnp.where((total > 0)[:, None], subtree_com, d.xpos)
+
+    # per-body spatial inertia about subtree_com[rootid[b]]
+    rootid = np.array(model.body_rootid, dtype=np.int32)
+    origin = subtree_com[rootid]
+    i0, h, m = maths.spatial_inertia(
+        model.body_mass, model.body_inertia, d.xipos, d.ximat, origin
+    )
+
+    # cdof per dof
+    cdof = [None] * model.nv
+    for j in range(model.njnt):
+        jt = model.jnt_type[j]
+        vadr = model.jnt_dofadr[j]
+        b = model.jnt_bodyid[j]
+        com = subtree_com[model.body_rootid[b]]
+        if jt == JointType.FREE:
+            for i in range(3):
+                e = jnp.zeros(6, dtype=d.qpos.dtype).at[3 + i].set(1.0)
+                cdof[vadr + i] = e
+            offset = com - d.xpos[b]
+            for i in range(3):
+                ax = d.xmat[b][:, i]
+                cdof[vadr + 3 + i] = jnp.concatenate(
+                    [ax, jnp.cross(ax, offset)]
+                )
+        elif jt == JointType.BALL:
+            offset = com - d.xanchor[j]
+            for i in range(3):
+                ax = d.xmat[b][:, i]
+                cdof[vadr + i] = jnp.concatenate([ax, jnp.cross(ax, offset)])
+        elif jt == JointType.SLIDE:
+            cdof[vadr] = jnp.concatenate(
+                [jnp.zeros(3, dtype=d.qpos.dtype), d.xaxis[j]]
+            )
+        else:  # hinge
+            offset = com - d.xanchor[j]
+            ax = d.xaxis[j]
+            cdof[vadr] = jnp.concatenate([ax, jnp.cross(ax, offset)])
+    cdof = (
+        jnp.stack(cdof)
+        if model.nv
+        else jnp.zeros((0, 6), dtype=d.qpos.dtype)
+    )
+
+    return d.replace(subtree_com=subtree_com, cinert_i=i0, cinert_h=h, cdof=cdof)
+
+
+# ---------------------------------------------------------------------------
+# mj_crb analog: composite rigid body -> dense qM
+# ---------------------------------------------------------------------------
+
+
+def crb(model: Model, d: Data) -> Data:
+    sub = subtree_mask(model)  # (nbody, nbody) numpy bool
+    subf = jnp.asarray(sub, dtype=d.qpos.dtype)
+    # composite inertias: crb[b] = sum over subtree of cinert
+    crb_i = jnp.einsum("bc,cij->bij", subf, d.cinert_i)
+    crb_h = jnp.einsum("bc,ci->bi", subf, d.cinert_h)
+    crb_m = jnp.einsum("bc,c->b", subf, model.body_mass)
+
+    if model.nv == 0:
+        return d
+
+    dof_body = np.array(model.dof_bodyid, dtype=np.int32)
+    # F[i] = crb[body(i)] * cdof[i]
+    f = maths.inertia_mul_motion(
+        crb_i[dof_body], crb_h[dof_body], crb_m[dof_body], d.cdof
+    )  # (nv, 6)
+    # M[i, j] = cdof[j] . F[i] for j ancestor-or-self of i
+    m_full = jnp.einsum("jk,ik->ij", d.cdof, f)
+    anc = jnp.asarray(dof_ancestor_mask(model))
+    qm = jnp.where(anc, m_full, 0.0)
+    qm = jnp.where(anc.T, m_full.T, qm)  # symmetrize via transpose mask
+    qm = qm + jnp.diag(model.dof_armature)
+    return d.replace(qM=qm)
+
+
+# ---------------------------------------------------------------------------
+# mj_comVel analog: cvel, cdof_dot
+# ---------------------------------------------------------------------------
+
+
+def com_vel(model: Model, d: Data) -> Data:
+    dtype = d.qpos.dtype
+    cvel = [jnp.zeros(6, dtype=dtype)] * model.nbody
+    cdof_dot = [jnp.zeros(6, dtype=dtype)] * model.nv
+
+    for b in range(1, model.nbody):
+        p = model.body_parentid[b]
+        v = cvel[p]
+        for j in body_joints(model, b):
+            jt = model.jnt_type[j]
+            vadr = model.jnt_dofadr[j]
+            if jt == JointType.FREE:
+                # translation dofs: cdof constant -> cdof_dot = 0
+                v = v + jnp.einsum(
+                    "i,ij->j", d.qvel[vadr : vadr + 3], d.cdof[vadr : vadr + 3]
+                )
+                # rotation dofs: cdof_dot = v_trans x cdof
+                for i in range(3):
+                    cdof_dot[vadr + 3 + i] = maths.motion_cross(
+                        v, d.cdof[vadr + 3 + i]
+                    )
+                v = v + jnp.einsum(
+                    "i,ij->j",
+                    d.qvel[vadr + 3 : vadr + 6],
+                    d.cdof[vadr + 3 : vadr + 6],
+                )
+            elif jt == JointType.BALL:
+                for i in range(3):
+                    cdof_dot[vadr + i] = maths.motion_cross(v, d.cdof[vadr + i])
+                v = v + jnp.einsum(
+                    "i,ij->j", d.qvel[vadr : vadr + 3], d.cdof[vadr : vadr + 3]
+                )
+            else:
+                cdof_dot[vadr] = maths.motion_cross(v, d.cdof[vadr])
+                v = v + d.qvel[vadr] * d.cdof[vadr]
+        cvel[b] = v
+
+    cvel = jnp.stack(cvel) if model.nbody else jnp.zeros((0, 6), dtype=dtype)
+    cdof_dot = (
+        jnp.stack(cdof_dot) if model.nv else jnp.zeros((0, 6), dtype=dtype)
+    )
+    return d.replace(cvel=cvel, cdof_dot=cdof_dot)
+
+
+# ---------------------------------------------------------------------------
+# mj_rne analog (flg_acc=0): qfrc_bias
+# ---------------------------------------------------------------------------
+
+
+def rne(model: Model, d: Data) -> Data:
+    dtype = d.qpos.dtype
+    gravity = jnp.asarray(model.opt.gravity, dtype=dtype)
+    if model.opt.disable_gravity:
+        gravity = jnp.zeros(3, dtype=dtype)
+
+    cacc = [jnp.concatenate([jnp.zeros(3, dtype=dtype), -gravity])]
+    for b in range(1, model.nbody):
+        p = model.body_parentid[b]
+        a = cacc[p]
+        adr, num = model.body_dofadr[b], model.body_dofnum[b]
+        if num:
+            a = a + jnp.einsum(
+                "i,ij->j", d.qvel[adr : adr + num], d.cdof_dot[adr : adr + num]
+            )
+        cacc.append(a)
+    cacc = jnp.stack(cacc)
+
+    # cfrc_body = cinert * cacc + cvel x* (cinert * cvel)
+    iv = maths.inertia_mul_motion(d.cinert_i, d.cinert_h, model.body_mass, d.cvel)
+    ia = maths.inertia_mul_motion(d.cinert_i, d.cinert_h, model.body_mass, cacc)
+    cfrc = ia + maths.force_cross(d.cvel, iv)
+
+    # backward accumulation over subtrees, then project on dofs
+    subf = jnp.asarray(subtree_mask(model), dtype=dtype)
+    cfrc_total = jnp.einsum("bc,ck->bk", subf, cfrc)
+    dof_body = np.array(model.dof_bodyid, dtype=np.int32)
+    qfrc_bias = jnp.einsum("ik,ik->i", d.cdof, cfrc_total[dof_body])
+    return d.replace(qfrc_bias=qfrc_bias)
+
+
+# ---------------------------------------------------------------------------
+# mj_fwdVelocity extras: passive forces
+# ---------------------------------------------------------------------------
+
+
+def passive(model: Model, d: Data) -> Data:
+    dtype = d.qpos.dtype
+    qfrc = jnp.zeros(model.nv, dtype=dtype)
+    # joint springs
+    for j in range(model.njnt):
+        stiff = model.jnt_stiffness[j]
+        jt = model.jnt_type[j]
+        qadr = model.jnt_qposadr[j]
+        vadr = model.jnt_dofadr[j]
+        if jt in (JointType.HINGE, JointType.SLIDE):
+            force = -stiff * (d.qpos[qadr] - model.qpos_spring[qadr])
+            qfrc = qfrc.at[vadr].add(force)
+        elif jt == JointType.BALL:
+            dif = maths.quat_sub(
+                d.qpos[qadr : qadr + 4], model.qpos_spring[qadr : qadr + 4]
+            )
+            qfrc = qfrc.at[vadr : vadr + 3].add(-stiff * dif)
+        else:  # free
+            dif = d.qpos[qadr : qadr + 3] - model.qpos_spring[qadr : qadr + 3]
+            qfrc = qfrc.at[vadr : vadr + 3].add(-stiff * dif)
+            difq = maths.quat_sub(
+                d.qpos[qadr + 3 : qadr + 7], model.qpos_spring[qadr + 3 : qadr + 7]
+            )
+            qfrc = qfrc.at[vadr + 3 : vadr + 6].add(-stiff * difq)
+    # dof damping
+    qfrc = qfrc - model.dof_damping * d.qvel
+    return d.replace(qfrc_passive=qfrc)
+
+
+# ---------------------------------------------------------------------------
+# mj_fwdActuation analog
+# ---------------------------------------------------------------------------
+
+
+def actuator_moments(model: Model, d: Data):
+    """(nu, nv) transmission moment matrix + actuator lengths."""
+    dtype = d.qpos.dtype
+    moments = jnp.zeros((model.nu, model.nv), dtype=dtype)
+    lengths = jnp.zeros((model.nu,), dtype=dtype)
+    for u in range(model.nu):
+        if model.actuator_trntype[u] != TrnType.JOINT:
+            raise NotImplementedError("only joint transmission supported")
+        j = model.actuator_trnid[u]
+        jt = model.jnt_type[j]
+        qadr, vadr = model.jnt_qposadr[j], model.jnt_dofadr[j]
+        gear = model.actuator_gear[u]
+        if jt in (JointType.HINGE, JointType.SLIDE):
+            moments = moments.at[u, vadr].set(gear[0])
+            lengths = lengths.at[u].set(d.qpos[qadr] * gear[0])
+        elif jt == JointType.BALL:
+            # torque = gear[0:3] in joint (child body) frame
+            moments = moments.at[u, vadr : vadr + 3].set(gear[:3])
+            q = maths.quat_normalize(d.qpos[qadr : qadr + 4])
+            expmap = maths.quat_sub(
+                q, jnp.array([1.0, 0, 0, 0], dtype=dtype)
+            )
+            lengths = lengths.at[u].set(jnp.dot(expmap, gear[:3]))
+        else:  # free
+            moments = moments.at[u, vadr : vadr + 6].set(gear[:6])
+    return moments, lengths
+
+
+def actuation(model: Model, d: Data) -> Data:
+    dtype = d.qpos.dtype
+    if model.nu == 0:
+        return d.replace(qfrc_actuator=jnp.zeros(model.nv, dtype=dtype))
+    moments, lengths = actuator_moments(model, d)
+    velocity = moments @ d.qvel
+
+    ctrl = d.ctrl
+    limited = jnp.asarray(model.actuator_ctrllimited)
+    lo = model.actuator_ctrlrange[:, 0]
+    hi = model.actuator_ctrlrange[:, 1]
+    ctrl = jnp.where(limited, jnp.clip(ctrl, lo, hi), ctrl)
+
+    # gain
+    gaintype = np.array(model.actuator_gaintype)
+    gain = jnp.where(
+        jnp.asarray(gaintype == GainType.FIXED),
+        model.actuator_gainprm[:, 0],
+        model.actuator_gainprm[:, 0]
+        + model.actuator_gainprm[:, 1] * lengths
+        + model.actuator_gainprm[:, 2] * velocity,
+    )
+    # bias
+    biastype = np.array(model.actuator_biastype)
+    bias = jnp.where(
+        jnp.asarray(biastype == BiasType.NONE),
+        jnp.zeros(model.nu, dtype=dtype),
+        model.actuator_biasprm[:, 0]
+        + model.actuator_biasprm[:, 1] * lengths
+        + model.actuator_biasprm[:, 2] * velocity,
+    )
+    force = gain * ctrl + bias
+    flimited = jnp.asarray(model.actuator_forcelimited)
+    force = jnp.where(
+        flimited,
+        jnp.clip(force, model.actuator_forcerange[:, 0], model.actuator_forcerange[:, 1]),
+        force,
+    )
+    qfrc_actuator = moments.T @ force
+    return d.replace(
+        actuator_length=lengths,
+        actuator_velocity=velocity,
+        actuator_force=force,
+        qfrc_actuator=qfrc_actuator,
+    )
+
+
+# ---------------------------------------------------------------------------
+# mj_fwdAcceleration analog
+# ---------------------------------------------------------------------------
+
+
+def xfrc_accumulate(model: Model, d: Data) -> jax.Array:
+    """Map per-body Cartesian wrenches (xfrc_applied, [force; torque] at the
+    body com) into generalized forces (mj_xfrcAccumulate / mj_applyFT)."""
+    dtype = d.qpos.dtype
+    rootid = np.array(model.body_rootid, dtype=np.int32)
+    origin = d.subtree_com[rootid]
+    force = d.xfrc_applied[:, :3]
+    torque = d.xfrc_applied[:, 3:]
+    # spatial force at the com-centered frame: [t + (p - O) x f ; f]
+    arm = d.xipos - origin
+    spatial = jnp.concatenate([torque + jnp.cross(arm, force), force], axis=-1)
+    mask = jnp.asarray(body_dof_mask(model), dtype=dtype)  # (nbody, nv)
+    # qfrc[i] = sum_b mask[b, i] * cdof[i] . spatial[b]
+    proj = jnp.einsum("ik,bk->bi", d.cdof, spatial)  # (nbody, nv)
+    return jnp.einsum("bi,bi->i", mask, proj)
+
+
+def fwd_acceleration(model: Model, d: Data) -> Data:
+    qfrc_smooth = (
+        d.qfrc_passive
+        - d.qfrc_bias
+        + d.qfrc_actuator
+        + d.qfrc_applied
+        + xfrc_accumulate(model, d)
+    )
+    qacc_smooth = jax.scipy.linalg.cho_solve(
+        (jnp.linalg.cholesky(d.qM), True), qfrc_smooth
+    )
+    return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
