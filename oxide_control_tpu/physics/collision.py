@@ -38,18 +38,18 @@ def max_contacts_per_pair(t1: int, t2: int) -> int:
 def make_frame(normal: jax.Array) -> jax.Array:
     """Build a right-handed contact frame [n; t1; t2] from a unit normal.
 
-    Mirrors mju_makeFrame: pick the world axis least aligned with n to
-    seed the tangent basis.
+    Matches mju_makeFrame (verified empirically against mjContact.frame):
+    t1 is the world Y axis projected onto the tangent plane when |n.y| < 0.5,
+    otherwise the world Z axis projected; t2 = n x t1.
     """
     n = normal
-    # choose seed axis: y if |n.x| >= 0.5 else x  (mju_makeFrame behavior)
-    use_x = jnp.abs(n[..., 0]) < 0.5
+    use_y = jnp.abs(n[..., 1]) < 0.5
     seed = jnp.where(
-        use_x[..., None],
-        jnp.broadcast_to(jnp.array([1.0, 0, 0], dtype=n.dtype), n.shape),
+        use_y[..., None],
         jnp.broadcast_to(jnp.array([0.0, 1, 0], dtype=n.dtype), n.shape),
+        jnp.broadcast_to(jnp.array([0.0, 0, 1], dtype=n.dtype), n.shape),
     )
-    t1 = jnp.cross(n, seed)
+    t1 = seed - n * jnp.sum(n * seed, axis=-1, keepdims=True)
     t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
     t2 = jnp.cross(n, t1)
     return jnp.stack([n, t1, t2], axis=-2)
@@ -66,7 +66,7 @@ def _plane_sphere(ppos, pmat, psize, cpos, cmat, csize):
     r = csize[0]
     dist = jnp.dot(n, cpos - ppos) - r
     pos = cpos - n * (r + 0.5 * dist)
-    return dist[None], pos[None], n[None]
+    return dist[None], pos[None], make_frame(n)[None]
 
 
 def _plane_capsule(ppos, pmat, psize, cpos, cmat, csize):
@@ -76,8 +76,17 @@ def _plane_capsule(ppos, pmat, psize, cpos, cmat, csize):
     ends = jnp.stack([cpos + axis * hl, cpos - axis * hl])  # (2, 3)
     dist = ends @ n - jnp.dot(n, ppos) - r
     pos = ends - n[None, :] * (r + 0.5 * dist)[:, None]
-    normal = jnp.broadcast_to(n, (2, 3))
-    return dist, pos, normal
+    # mjc_PlaneCapsule frame: t1 along the capsule axis projected onto the
+    # plane (sign-preserving); degenerate (vertical) fallback: the capsule
+    # frame's x axis projected.
+    t1 = axis - n * jnp.dot(n, axis)
+    nrm = jnp.linalg.norm(t1)
+    alt = cmat[:, 0] - n * jnp.dot(n, cmat[:, 0])
+    t1 = jnp.where(nrm > 1e-10, t1 / jnp.where(nrm > 1e-10, nrm, 1.0),
+                   alt / jnp.linalg.norm(alt))
+    t2 = jnp.cross(n, t1)
+    frame = jnp.broadcast_to(jnp.stack([n, t1, t2]), (2, 3, 3))
+    return dist, pos, frame
 
 
 def _plane_box(ppos, pmat, psize, bpos, bmat, bsize):
@@ -93,8 +102,7 @@ def _plane_box(ppos, pmat, psize, bpos, bmat, bsize):
     neg_top, idx = jax.lax.top_k(-dist8, 4)
     dist = -neg_top
     pos = corners[idx] - n[None, :] * (0.5 * dist)[:, None]
-    normal = jnp.broadcast_to(n, (4, 3))
-    return dist, pos, normal
+    return dist, pos, jnp.broadcast_to(make_frame(n), (4, 3, 3))
 
 
 def _sphere_sphere_raw(p1, r1, p2, r2, dtype):
@@ -109,7 +117,7 @@ def _sphere_sphere_raw(p1, r1, p2, r2, dtype):
 
 def _sphere_sphere(p1pos, p1mat, s1, p2pos, p2mat, s2):
     dist, pos, n = _sphere_sphere_raw(p1pos, s1[0], p2pos, s2[0], p1pos.dtype)
-    return dist[None], pos[None], n[None]
+    return dist[None], pos[None], make_frame(n)[None]
 
 
 def _closest_on_segment(a, b, p):
@@ -127,7 +135,7 @@ def _sphere_capsule(spos, smat, ssize, cpos, cmat, csize):
     a, b = cpos - axis * hl, cpos + axis * hl
     closest = _closest_on_segment(a, b, spos)
     dist, pos, n = _sphere_sphere_raw(spos, r1, closest, r2, spos.dtype)
-    return dist[None], pos[None], n[None]
+    return dist[None], pos[None], make_frame(n)[None]
 
 
 def _segment_segment(a1, b1, a2, b2):
@@ -164,7 +172,7 @@ def _capsule_capsule(c1pos, c1mat, s1, c2pos, c2mat, s2):
         c1pos - ax1 * hl1, c1pos + ax1 * hl1, c2pos - ax2 * hl2, c2pos + ax2 * hl2
     )
     dist, pos, n = _sphere_sphere_raw(p1, r1, p2, r2, c1pos.dtype)
-    return dist[None], pos[None], n[None]
+    return dist[None], pos[None], make_frame(n)[None]
 
 
 def _sphere_box(spos, smat, ssize, bpos, bmat, bsize):
@@ -191,7 +199,7 @@ def _sphere_box(spos, smat, ssize, bpos, bmat, bsize):
     # face's outward normal, so n = -outward.
     n = jnp.where(inside, -n_in, -n_out)
     pos = spos + n * (r + 0.5 * dist)
-    return dist[None], pos[None], n[None]
+    return dist[None], pos[None], make_frame(n)[None]
 
 
 _PRIMS = {
@@ -220,14 +228,14 @@ def collision(model: Model, d: Data) -> Data:
         fn = _PRIMS[key]
         g1 = np.array([p[0] for p in pairs], dtype=np.int32)
         g2 = np.array([p[1] for p in pairs], dtype=np.int32)
-        dist, pos, normal = jax.vmap(fn)(
+        dist, pos, frame = jax.vmap(fn)(
             d.geom_xpos[g1], d.geom_xmat[g1], model.geom_size[g1],
             d.geom_xpos[g2], d.geom_xmat[g2], model.geom_size[g2],
-        )  # (npairs, k), (npairs, k, 3), (npairs, k, 3)
+        )  # (npairs, k), (npairs, k, 3), (npairs, k, 3, 3)
         k = dist.shape[1]
         dists.append(dist.reshape(-1))
         poss.append(pos.reshape(-1, 3))
-        frames.append(make_frame(normal.reshape(-1, 3)))
+        frames.append(frame.reshape(-1, 3, 3))
         offset += len(pairs) * k
 
     dist = jnp.concatenate(dists)

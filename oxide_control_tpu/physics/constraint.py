@@ -231,7 +231,10 @@ def make_efc(model: Model, d: Data):
                 jt = frame[1 + ti] @ jdiff
                 for sgn in (1.0, -1.0):
                     J = jn + sgn * mu[ti] * jt
-                    dap = iw * 2.0 * (1.0 + mu[ti] * mu[ti])
+                    # mj_diagApprox pyramidal factor (verified vs efc_D):
+                    # 2 * mu^2 * (1 + mu^2)
+                    mu2 = mu[ti] * mu[ti]
+                    dap = iw * 2.0 * mu2 * (1.0 + mu2)
                     rows.add(model, J, pos, solref, solimp, dap, exists, True,
                              vel=jnp.dot(J, d.qvel))
         else:
@@ -383,7 +386,7 @@ def _solve_cg(model: Model, d: Data, efc):
         qacc=x,
         qfrc_constraint=qfrc_constraint,
         qacc_warmstart=x,
-        nefc_active=jnp.sum(efc["exists"].astype(jnp.int32)),
+        nefc_active=jnp.sum(efc["exists"], dtype=jnp.int32),
     )
 
 

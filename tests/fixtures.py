@@ -42,10 +42,13 @@ PLANAR_WALKER = """
   <option timestep="0.002" solver="CG" iterations="30" tolerance="0"/>
   <default>
     <joint damping="0.1" armature="0.01"/>
-    <geom friction="0.7 0.005 0.0001" solref="0.02 1" solimp="0.9 0.95 0.001 0.5 2"/>
+    <!-- dm_control idiom: body geoms collide with the floor but not with
+         each other (contype 0 / conaffinity 1 vs floor contype 1) -->
+    <geom friction="0.7 0.005 0.0001" solref="0.02 1" solimp="0.9 0.95 0.001 0.5 2"
+          contype="0" conaffinity="1"/>
   </default>
   <worldbody>
-    <geom name="floor" type="plane" size="10 10 0.1"/>
+    <geom name="floor" type="plane" size="10 10 0.1" contype="1" conaffinity="0"/>
     <body name="torso" pos="0 0 0.7">
       <joint name="rootx" type="slide" axis="1 0 0" damping="0" armature="0"/>
       <joint name="rootz" type="slide" axis="0 0 1" damping="0" armature="0"/>

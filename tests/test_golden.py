@@ -1,0 +1,111 @@
+"""Golden-trajectory tests: N-step rollouts vs CPU MuJoCo under identical
+ctrl sequences (SURVEY.md §4 item 2, BASELINE.md correctness metric)."""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+import fixtures
+from oxide_control_tpu import load_model_from_xml
+from oxide_control_tpu.physics import forward as fwd
+from oxide_control_tpu.state import make_data
+
+
+def rollout_mujoco(xml, qpos, qvel, ctrls):
+    ref = mujoco.MjModel.from_xml_string(xml)
+    rd = mujoco.MjData(ref)
+    rd.qpos[:] = qpos
+    rd.qvel[:] = qvel
+    out_qpos, out_qvel = [], []
+    for c in ctrls:
+        rd.ctrl[:] = c
+        mujoco.mj_step(ref, rd)
+        out_qpos.append(rd.qpos.copy())
+        out_qvel.append(rd.qvel.copy())
+    return np.array(out_qpos), np.array(out_qvel)
+
+
+def rollout_ours(xml, qpos, qvel, ctrls):
+    m = load_model_from_xml(xml)
+    d = make_data(m)
+    d = d.replace(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
+
+    def body(d, ctrl):
+        d = d.replace(ctrl=ctrl)
+        d = fwd.step(m, d)
+        return d, (d.qpos, d.qvel)
+
+    _, (qp, qv) = jax.lax.scan(body, d, jnp.asarray(ctrls))
+    return np.asarray(qp), np.asarray(qv)
+
+
+def compare(xml, nsteps, seed, tol, ctrl_scale=1.0, init=None):
+    ref = mujoco.MjModel.from_xml_string(xml)
+    rng = np.random.default_rng(seed)
+    qpos = ref.qpos0.copy()
+    qvel = np.zeros(ref.nv)
+    if init is not None:
+        qpos, qvel = init
+    # smooth random ctrl: piecewise-constant over 20-step holds
+    nu = ref.nu
+    holds = rng.uniform(-ctrl_scale, ctrl_scale, (nsteps // 20 + 1, nu))
+    ctrls = np.repeat(holds, 20, axis=0)[:nsteps]
+    qp_ref, qv_ref = rollout_mujoco(xml, qpos, qvel, ctrls)
+    qp, qv = rollout_ours(xml, qpos, qvel, ctrls)
+    err_q = np.max(np.abs(qp - qp_ref))
+    err_v = np.max(np.abs(qv - qv_ref))
+    assert err_q < tol, f"qpos traj err {err_q:.3e} >= {tol}"
+    assert err_v < tol * 10, f"qvel traj err {err_v:.3e} >= {tol * 10}"
+    return err_q, err_v
+
+
+def test_pendulum_trajectory():
+    compare(fixtures.PENDULUM, 1000, 0, 1e-8)
+
+
+def test_cartpole_trajectory():
+    # drives the cart into its slider limits -> exercises limit rows
+    compare(fixtures.CARTPOLE, 1000, 1, 1e-8)
+
+
+def test_ball_joint_trajectory():
+    compare(fixtures.BALL_JOINT, 500, 2, 1e-8)
+
+
+def test_free_body_drop():
+    # sphere dropped with lateral+angular velocity: impacts, friction, roll
+    init = (
+        np.array([0.1, -0.2, 0.5, 1, 0, 0, 0]),
+        np.array([1.0, 0.5, 0.0, 2.0, -1.0, 0.5]),
+    )
+    compare(fixtures.FREE_BODY, 1000, 3, 1e-6, init=init)
+
+
+def test_walker_trajectory():
+    # contact-rich planar walker accumulates ~3e-6 qpos error over 500 steps
+    # (our line search is exact; MuJoCo's stops at ls_tolerance), so the
+    # bound here is looser than the smooth-only models.
+    compare(fixtures.PLANAR_WALKER, 500, 4, 1e-4)
+
+
+def test_pendulum_rk4():
+    xml = fixtures.PENDULUM.replace(
+        '<option timestep="0.002"', '<option integrator="RK4" timestep="0.002"'
+    )
+    compare(xml, 500, 5, 1e-8)
+
+
+def test_determinism():
+    """Same seed -> bit-identical trajectories (SURVEY.md §4 item 5)."""
+    qp1, qv1 = rollout_ours(
+        fixtures.PENDULUM, np.array([0.3]), np.array([0.1]),
+        np.full((100, 1), 0.5),
+    )
+    qp2, qv2 = rollout_ours(
+        fixtures.PENDULUM, np.array([0.3]), np.array([0.1]),
+        np.full((100, 1), 0.5),
+    )
+    np.testing.assert_array_equal(qp1, qp2)
+    np.testing.assert_array_equal(qv1, qv2)
