@@ -88,7 +88,13 @@ def _attr_floats(attrs: dict, key: str, default=None, n: int | None = None):
         if v.size > n:
             raise ModelError(f"attribute '{key}' has {v.size} values, expected <= {n}")
         if v.size < n:
-            v = np.concatenate([v, np.zeros(n - v.size)])
+            # MuJoCo pads partially-specified vector attributes with the
+            # schema default tail (e.g. solimp "0 0.99 0.01" -> "... 0.5 2")
+            if default is not None and np.size(default) == n:
+                tail = np.asarray(default, dtype=np.float64)[v.size :]
+            else:
+                tail = np.zeros(n - v.size)
+            v = np.concatenate([v, tail])
     return v
 
 

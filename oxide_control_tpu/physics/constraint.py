@@ -390,6 +390,56 @@ def _solve_cg(model: Model, d: Data, efc):
     )
 
 
+def _solve_newton(model: Model, d: Data, efc):
+    """Newton solver (mj_solNewton analog): exact Hessian of the convex cost
+    H = M + J^T diag(D * active) J, Cholesky solve for the search direction,
+    exact line search.  Converges in a handful of iterations, so a small
+    fixed iteration count reaches the unique optimum — which is also why the
+    golden tests can hold tightly: CPU MuJoCo lands on the same optimum.
+    """
+    qM = d.qM
+    J = efc["J"]
+    aref = efc["aref"]
+    qacc_smooth = d.qacc_smooth
+    qfrc_smooth = d.qfrc_smooth
+    uni = jnp.asarray(efc["unilateral"]) & efc["exists"]
+    eq = jnp.asarray(~efc["unilateral"]) & efc["exists"]
+
+    def cost_of(x):
+        jar = J @ x - aref
+        return _cost(efc, x, qacc_smooth, jar, qM), jar
+
+    c_ws, jar_ws = cost_of(d.qacc_warmstart)
+    c_sm, jar_sm = cost_of(qacc_smooth)
+    use_ws = c_ws < c_sm
+    x0 = jnp.where(use_ws, d.qacc_warmstart, qacc_smooth)
+    jar0 = jnp.where(use_ws, jar_ws, jar_sm)
+
+    def body(_, carry):
+        x, jar = carry
+        act = eq | (uni & (jar < 0))
+        f = jnp.where(act, -efc["D"] * jar, 0.0)
+        grad = qM @ x - qfrc_smooth - J.T @ f
+        w = jnp.where(act, efc["D"], 0.0)
+        hess = qM + (J.T * w) @ J
+        chol = jnp.linalg.cholesky(hess)
+        p = -jax.scipy.linalg.cho_solve((chol, True), grad)
+        jp = J @ p
+        d0_gauss = jnp.dot(p, qM @ x - qfrc_smooth)
+        slope_gauss = jnp.dot(p, qM @ p)
+        alpha = _linesearch(efc, jar, jp, d0_gauss, slope_gauss)
+        return x + alpha * p, jar + alpha * jp
+
+    x, jar = jax.lax.fori_loop(0, model.opt.iterations, body, (x0, jar0))
+    f = _efc_force(efc, jar)
+    return d.replace(
+        qacc=x,
+        qfrc_constraint=J.T @ f,
+        qacc_warmstart=x,
+        nefc_active=jnp.sum(efc["exists"], dtype=jnp.int32),
+    )
+
+
 def fwd_constraint(model: Model, d: Data) -> Data:
     """mj_fwdConstraint analog: assemble rows, solve, store qacc + forces."""
     efc = make_efc(model, d)
@@ -400,4 +450,8 @@ def fwd_constraint(model: Model, d: Data) -> Data:
             qacc_warmstart=d.qacc_smooth,
             nefc_active=jnp.zeros((), dtype=jnp.int32),
         )
+    from ..model import SolverType
+
+    if model.opt.solver == SolverType.NEWTON:
+        return _solve_newton(model, d, efc)
     return _solve_cg(model, d, efc)

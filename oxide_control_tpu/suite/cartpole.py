@@ -1,0 +1,73 @@
+"""Cartpole balance / swingup (BASELINE.md config 1)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model import Model
+from ..state import Data
+from . import rewards
+from .common import load_asset, uniform
+
+_TIME_LIMIT = 10.0
+
+
+class _Cartpole:
+    discount = 1.0
+
+    def __init__(self, model: Model, swing_up: bool, time_limit: float = _TIME_LIMIT):
+        self.swing_up = swing_up
+        self.time_limit = time_limit
+        self._slider = model.jnt_qposadr[model.name2id("joint", "slider")]
+        self._hinge = model.jnt_qposadr[model.name2id("joint", "hinge")]
+
+    def init_episode(self, model: Model, data: Data, rng) -> Data:
+        k1, k2, k3 = jax.random.split(rng, 3)
+        if self.swing_up:
+            x = 0.01 * jax.random.normal(k1)
+            theta = jnp.pi + 0.01 * jax.random.normal(k2)
+        else:
+            x = uniform(k1, -0.1, 0.1)
+            theta = uniform(k2, -0.034, 0.034)
+        qpos = data.qpos.at[self._slider].set(x).at[self._hinge].set(theta)
+        qvel = 0.01 * jax.random.normal(k3, (model.nv,), dtype=data.qvel.dtype)
+        return data.replace(qpos=qpos, qvel=qvel)
+
+    def observe(self, model: Model, data: Data):
+        x = data.qpos[self._slider]
+        theta = data.qpos[self._hinge]
+        return jnp.concatenate(
+            [jnp.stack([x, jnp.cos(theta), jnp.sin(theta)]), data.qvel]
+        )
+
+    def reward(self, model: Model, data: Data, obs, action):
+        # dm_control cartpole smooth reward: upright * small_control *
+        # small_velocity * centered
+        cos_theta = obs[1]
+        upright = (cos_theta + 1.0) / 2.0
+        centered = rewards.tolerance(obs[0], margin=2.0)
+        centered = (1.0 + centered) / 2.0
+        small_control = rewards.tolerance(
+            jnp.asarray(action).reshape(-1)[0], margin=1.0,
+            value_at_margin=0.0, sigmoid="quadratic",
+        )
+        small_control = (4.0 + small_control) / 5.0
+        ang_vel = data.qvel[1]
+        small_velocity = rewards.tolerance(ang_vel, margin=5.0)
+        small_velocity = (1.0 + small_velocity) / 2.0
+        return upright * small_control * small_velocity * centered
+
+    def done(self, model: Model, data: Data, obs):
+        return data.time > self.time_limit - 1e-6
+
+
+def balance(model: Model | None = None, dtype=None, **kw):
+    model = model if model is not None else load_asset("cartpole", dtype=dtype or np.float64)
+    return model, _Cartpole(model, swing_up=False, **kw)
+
+
+def swingup(model: Model | None = None, dtype=None, **kw):
+    model = model if model is not None else load_asset("cartpole", dtype=dtype or np.float64)
+    return model, _Cartpole(model, swing_up=True, **kw)

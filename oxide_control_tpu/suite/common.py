@@ -1,0 +1,56 @@
+"""Shared helpers for the control suite tasks."""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mjcf.compile import load_model
+from ..model import Model
+
+ASSET_DIR = os.path.join(os.path.dirname(__file__), "assets")
+
+
+@functools.lru_cache(maxsize=None)
+def _load_cached(name: str, dtype_str: str) -> Model:
+    return load_model(
+        os.path.join(ASSET_DIR, f"{name}.xml"), dtype=np.dtype(dtype_str)
+    )
+
+
+def load_asset(name: str, dtype=np.float64) -> Model:
+    """Load and compile a suite asset model, cached per (name, dtype)."""
+    return _load_cached(name, np.dtype(dtype).name)
+
+
+def asset_path(name: str) -> str:
+    return os.path.join(ASSET_DIR, f"{name}.xml")
+
+
+def uniform(rng, lo, hi, shape=()):
+    return lo + (hi - lo) * jax.random.uniform(rng, shape)
+
+
+def randomize_limited_joints(model: Model, qpos, rng, fraction=1.0):
+    """Uniformly randomize limited scalar joints within `fraction` of their
+    range (the dm_control randomizers.randomize_limited_and_rotational_joints
+    idiom for limited hinges/slides)."""
+    from ..model import JointType
+
+    keys = jax.random.split(rng, max(model.njnt, 1))
+    for j in range(model.njnt):
+        if not model.jnt_limited[j]:
+            continue
+        if model.jnt_type[j] not in (JointType.HINGE, JointType.SLIDE):
+            continue
+        adr = model.jnt_qposadr[j]
+        lo, hi = model.jnt_range[j][0], model.jnt_range[j][1]
+        mid = 0.5 * (lo + hi)
+        half = 0.5 * (hi - lo) * fraction
+        val = mid + uniform(keys[j], -half, half)
+        qpos = qpos.at[adr].set(val)
+    return qpos

@@ -1,0 +1,76 @@
+"""Planar walker stand / walk / run (BASELINE.md config 2)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model import Model
+from ..state import Data
+from . import rewards
+from .common import load_asset, randomize_limited_joints
+
+_STAND_HEIGHT = 1.2
+_WALK_SPEED = 1.0
+_RUN_SPEED = 8.0
+_TIME_LIMIT = 25.0
+
+
+class _Walker:
+    discount = 1.0
+
+    def __init__(self, model: Model, move_speed: float, time_limit: float = _TIME_LIMIT):
+        self.move_speed = move_speed
+        self.time_limit = time_limit
+        self._torso = model.name2id("body", "torso")
+
+    def init_episode(self, model: Model, data: Data, rng) -> Data:
+        k1, k2 = jax.random.split(rng)
+        qpos = randomize_limited_joints(model, data.qpos, k1, fraction=0.1)
+        qvel = 0.01 * jax.random.normal(k2, (model.nv,), dtype=data.qvel.dtype)
+        return data.replace(qpos=qpos, qvel=qvel)
+
+    def observe(self, model: Model, data: Data):
+        # orientations + height + velocity (dm_control walker style, reduced:
+        # rootx is translation-invariant and excluded)
+        height = data.qpos[0] + 1.3  # rootz is relative to the initial 1.3
+        return jnp.concatenate(
+            [jnp.stack([height]), data.qpos[2:], data.qvel]
+        )
+
+    def _stand_reward(self, model: Model, data: Data):
+        torso_height = data.xpos[self._torso][2]
+        torso_upright = data.xmat[self._torso][2, 2]
+        standing = rewards.tolerance(
+            torso_height, bounds=(_STAND_HEIGHT, jnp.inf), margin=_STAND_HEIGHT / 2
+        )
+        upright = (1.0 + torso_upright) / 2.0
+        return (3.0 * standing + upright) / 4.0
+
+    def reward(self, model: Model, data: Data, obs, action):
+        stand = self._stand_reward(model, data)
+        if self.move_speed == 0:
+            return stand
+        speed = data.qvel[1]  # rootx velocity
+        move = rewards.tolerance(
+            speed, bounds=(self.move_speed, jnp.inf),
+            margin=self.move_speed / 2, value_at_margin=0.5, sigmoid="linear",
+        )
+        return stand * (5.0 * move + 1.0) / 6.0
+
+    def done(self, model: Model, data: Data, obs):
+        return data.time > self.time_limit - 1e-6
+
+
+def _make(speed):
+    def factory(model: Model | None = None, dtype=None, **kw):
+        m = model if model is not None else load_asset("walker", dtype=dtype or np.float64)
+        return m, _Walker(m, move_speed=speed, **kw)
+
+    return factory
+
+
+stand = _make(0.0)
+walk = _make(_WALK_SPEED)
+run = _make(_RUN_SPEED)

@@ -1,0 +1,200 @@
+"""Suite tasks + Environment/Physics API tests.
+
+Asset models are validated as golden trajectories vs CPU MuJoCo; the reward
+helper is validated against dm_control's reference implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from test_golden import compare
+
+from oxide_control_tpu import suite
+from oxide_control_tpu.api import (
+    BodyNotMocapError,
+    JointTypeError,
+    NameNotFoundError,
+    Physics,
+)
+from oxide_control_tpu.suite import rewards
+from oxide_control_tpu.suite.common import asset_path
+
+
+def _xml(name):
+    return open(asset_path(name)).read()
+
+
+# ---------------------------------------------------------------------------
+# golden trajectories on the suite assets
+# ---------------------------------------------------------------------------
+
+
+def test_pendulum_asset_golden():
+    compare(_xml("pendulum"), 500, 10, 1e-8)
+
+
+def test_cartpole_asset_golden():
+    compare(_xml("cartpole"), 500, 11, 1e-8)
+
+
+def test_cheetah_asset_golden():
+    compare(_xml("cheetah"), 300, 12, 1e-4, vel_tol=1e-2)
+
+
+def test_walker_asset_golden():
+    compare(_xml("walker"), 300, 13, 1e-4, vel_tol=1e-2)
+
+
+def test_humanoid_asset_golden():
+    compare(_xml("humanoid"), 300, 14, 1e-3, vel_tol=1e-1)
+
+
+# ---------------------------------------------------------------------------
+# rewards.tolerance vs dm_control reference
+# ---------------------------------------------------------------------------
+
+
+def test_tolerance_matches_dm_control():
+    from dm_control.utils import rewards as dm_rewards
+
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(-3, 3, 50)
+    for sigmoid in ["gaussian", "hyperbolic", "long_tail", "reciprocal",
+                    "cosine", "linear", "quadratic", "tanh_squared"]:
+        for bounds, margin in [((0.0, 0.0), 1.0), ((0.95, 1.0), 1.95),
+                               ((1.0, np.inf), 2.0), ((-0.5, 0.5), 0.3)]:
+            vam = 0.0 if sigmoid in ("cosine", "linear", "quadratic") else 0.1
+            ref = dm_rewards.tolerance(
+                xs, bounds=bounds, margin=margin, sigmoid=sigmoid,
+                value_at_margin=vam,
+            )
+            ours = rewards.tolerance(
+                xs, bounds=bounds, margin=margin, sigmoid=sigmoid,
+                value_at_margin=vam,
+            )
+            np.testing.assert_allclose(
+                np.asarray(ours), ref, atol=1e-12,
+                err_msg=f"{sigmoid} {bounds} {margin}",
+            )
+    # margin=0 sparse case
+    np.testing.assert_allclose(
+        np.asarray(rewards.tolerance(xs, bounds=(0, 1))),
+        dm_rewards.tolerance(xs, bounds=(0, 1)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# environment semantics
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("domain,task", suite.ALL_TASKS)
+def test_env_reset_step(domain, task):
+    env = suite.load(domain, task)
+    rng = jax.random.PRNGKey(0)
+    data, obs = env.reset(rng)
+    assert np.all(np.isfinite(np.asarray(obs)))
+    action = jnp.zeros(env.model.nu)
+    data, ts = env.step(data, action)
+    assert np.isfinite(float(ts.reward))
+    assert 0.0 <= float(ts.reward) <= 1.0 + 1e-9
+    assert not bool(ts.done)
+    assert float(ts.discount) == env.task.discount
+
+
+def test_env_step_ordering():
+    """Reward/termination are computed on the POST-step observation, matching
+    the reference ordering (lib.rs:68-87, SURVEY.md §3.1)."""
+    env = suite.load("pendulum", "swingup")
+    data, obs0 = env.reset(jax.random.PRNGKey(1))
+    data, ts = env.step(data, jnp.ones(1))
+    # observation must have advanced
+    assert not np.allclose(np.asarray(obs0), np.asarray(ts.observation))
+    # and reflect the post-step qpos
+    theta = float(data.qpos[0])
+    np.testing.assert_allclose(
+        float(ts.observation[0]), np.cos(theta), atol=1e-12
+    )
+
+
+def test_batched_env_auto_reset():
+    env = suite.load_batched("pendulum", "swingup", 4, dtype=np.float64,
+                             time_limit=0.1)  # 5 steps at dt=0.02
+    rng = jax.random.PRNGKey(0)
+    data, obs = env.reset(rng)
+    assert obs.shape == (4, 3)
+    done_seen = False
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        data, ts = env.step(data, jnp.zeros((4, 1)), sub)
+        if np.any(np.asarray(ts.done)):
+            done_seen = True
+            # after auto-reset, the carried state must be re-initialized
+            assert np.all(np.asarray(data.time)[np.asarray(ts.done)] == 0.0)
+            assert np.all(np.asarray(ts.discount)[np.asarray(ts.done)] == 0.0)
+    assert done_seen
+
+
+def test_batch_consistency():
+    """Batch of identical seeds == single env (SURVEY.md §4 item 3)."""
+    env1 = suite.load("cartpole", "swingup")
+    envB = suite.load_batched("cartpole", "swingup", 3, dtype=np.float64)
+    key = jax.random.PRNGKey(7)
+    d1, o1 = env1.reset(key)
+    keys = jnp.stack([key, key, key])
+    dB, oB = jax.vmap(env1.reset)(keys)
+    np.testing.assert_allclose(np.asarray(oB), np.tile(np.asarray(o1), (3, 1)))
+    a = jnp.ones((3, 1)) * 0.3
+    for _ in range(10):
+        d1, ts1 = env1.step(d1, a[0])
+        dB, tsB = jax.vmap(env1.step)(dB, a)
+    np.testing.assert_allclose(
+        np.asarray(tsB.observation),
+        np.tile(np.asarray(ts1.observation), (3, 1)),
+        atol=1e-12,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Physics handle: accessor surface + error vocabulary
+# ---------------------------------------------------------------------------
+
+
+def test_physics_accessors():
+    p = Physics.from_xml(asset_path("cartpole"))
+    # step/forward/reset verbs
+    p.set_ctrl("slide", 0.5)
+    assert float(p.ctrl("slide")) == 0.5
+    p.step()
+    assert float(p.time) > 0
+    p.reset()
+    assert float(p.time) == 0.0
+    # typed qpos access
+    p.set_qpos("hinge", [0.3])
+    assert float(p.qpos("hinge")) == 0.3
+    with pytest.raises(JointTypeError):
+        p.qpos("hinge", expect="ball")
+    with pytest.raises(JointTypeError):
+        p.set_qpos("hinge", [1.0, 2.0])
+    with pytest.raises(NameNotFoundError):
+        p.qpos("nope")
+    with pytest.raises(BodyNotMocapError):
+        p.mocap_pos("cart")
+    # actuators proxy only exposes ctrl writes (reference physics.rs:65-72)
+    act = p.actuators()
+    act.set("slide", -0.25)
+    assert float(p.ctrl(0)) == -0.25
+    assert not hasattr(act, "set_qpos")
+    # set_state + forward idiom (SURVEY.md §3.5)
+    p.set_qpos("slider", [0.7])
+    p.forward()
+    np.testing.assert_allclose(float(p.body_xpos("cart")[0]), 0.7, atol=1e-12)
+    assert not p.diverged()
+
+
+def test_object_id_lookup():
+    p = Physics.from_xml(asset_path("walker"))
+    assert p.object_id("body", "torso") == 1
+    assert p.object_id("body", "missing") is None
+    assert p.object_name("body", 1) == "torso"
