@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..model import EqType, JointType, Model
 from ..state import Data
 from .collision import contact_condims, max_contacts_per_pair
+from . import maths
 from . import smooth
 
 _BIG = 1e12
@@ -118,7 +119,10 @@ def _point_jac(model: Model, d: Data, point: jax.Array, body: int) -> jax.Array:
 
 
 class _Rows:
-    """Accumulator for efc rows (trace-time python; fixed count)."""
+    """Accumulator for efc row *blocks* (trace-time python; fixed count).
+
+    Rows are appended in blocks of shape (n, ...) so vectorized categories
+    (limits, contacts) stay a single fused computation each."""
 
     def __init__(self, dtype, nv):
         self.dtype = dtype
@@ -126,17 +130,28 @@ class _Rows:
         self.J, self.pos, self.aref, self.D = [], [], [], []
         self.exists, self.unilateral = [], []
 
-    def add(self, model, J, pos, solref, solimp, diag_approx, exists,
-            unilateral, vel):
+    def add_block(self, model, J, pos, solref, solimp, diag_approx, exists,
+                  unilateral, vel):
+        """J: (n, nv); pos/diag_approx/exists/vel: (n,); solref: (n, 2);
+        solimp: (n, 5); unilateral: static bool for the whole block."""
         k, b, imp = _kbi(model, solref, solimp, pos)
         aref = -b * vel - k * imp * pos
         dd = imp / (1.0 - imp) / jnp.maximum(diag_approx, 1e-12)
+        n = J.shape[0]
         self.J.append(J)
         self.pos.append(jnp.asarray(pos, dtype=self.dtype))
         self.aref.append(jnp.asarray(aref, dtype=self.dtype))
         self.D.append(jnp.asarray(dd, dtype=self.dtype))
-        self.exists.append(jnp.asarray(exists))
-        self.unilateral.append(bool(unilateral))
+        self.exists.append(jnp.broadcast_to(jnp.asarray(exists), (n,)))
+        self.unilateral.extend([bool(unilateral)] * n)
+
+    def add(self, model, J, pos, solref, solimp, diag_approx, exists,
+            unilateral, vel):
+        self.add_block(
+            model, J[None], jnp.asarray(pos)[None], jnp.asarray(solref)[None],
+            jnp.asarray(solimp)[None], jnp.asarray(diag_approx)[None],
+            jnp.asarray(exists)[None], unilateral, jnp.asarray(vel)[None],
+        )
 
 
 def make_efc(model: Model, d: Data):
@@ -188,66 +203,109 @@ def make_efc(model: Model, d: Data):
         else:
             raise NotImplementedError("weld equality not yet implemented")
 
-    # ----- joint limits -----
-    for j in _limit_joints(model):
-        qadr, vadr = model.jnt_qposadr[j], model.jnt_dofadr[j]
-        lo, hi = model.jnt_range[j][0], model.jnt_range[j][1]
-        dist_lo = d.qpos[qadr] - lo
-        dist_hi = hi - d.qpos[qadr]
-        use_lo = dist_lo < dist_hi
+    # ----- joint limits (vectorized over limited joints) -----
+    lim = _limit_joints(model)
+    if lim:
+        qadr = np.array([model.jnt_qposadr[j] for j in lim])
+        vadr = np.array([model.jnt_dofadr[j] for j in lim])
+        lo = model.jnt_range[np.array(lim), 0]
+        hi = model.jnt_range[np.array(lim), 1]
+        q = d.qpos[qadr]
+        dist_lo = q - lo
+        dist_hi = hi - q
         dist = jnp.minimum(dist_lo, dist_hi)
-        sign = jnp.where(use_lo, 1.0, -1.0)
-        margin = model.jnt_margin[j]
+        sign = jnp.where(dist_lo < dist_hi, 1.0, -1.0).astype(dtype)
+        margin = model.jnt_margin[np.array(lim)]
         exists = dist < margin
         pos = jnp.where(exists, dist - margin, 0.0)
-        J = jnp.zeros(nv, dtype=dtype).at[vadr].set(1.0) * sign
-        rows.add(model, J, pos, model.jnt_solref[j], model.jnt_solimp[j],
-                 iw_dof[vadr], exists, True, vel=sign * d.qvel[vadr])
+        onehot = np.zeros((len(lim), nv))
+        onehot[np.arange(len(lim)), vadr] = 1.0
+        J = jnp.asarray(onehot, dtype=dtype) * sign[:, None]
+        rows.add_block(
+            model, J, pos, model.jnt_solref[np.array(lim)],
+            model.jnt_solimp[np.array(lim)], iw_dof[vadr], exists, True,
+            vel=sign * d.qvel[vadr],
+        )
 
-    # ----- contacts (pyramidal) -----
+    # ----- contacts (pyramidal; vectorized over lanes per condim) -----
     condims = contact_condims(model)
     bodies = _lane_bodies(model)
     con = d.contact
-    for ci, condim in enumerate(condims):
-        b1, b2 = bodies[ci]
-        dist = con.dist[ci]
-        margin = con.includemargin[ci]
+    bdm = smooth.body_dof_mask(model)  # static (nbody, nv)
+    rootid = np.array(model.body_rootid)
+
+    def lane_jacobians(lanes):
+        """(len(lanes), 3, nv) relative translational jacobians (b2 - b1)."""
+        b1 = np.array([bodies[i][0] for i in lanes])
+        b2 = np.array([bodies[i][1] for i in lanes])
+        pos_l = con.pos[np.array(lanes)]  # (L, 3)
+        ang = d.cdof[:, :3]  # (nv, 3)
+        lin = d.cdof[:, 3:]
+
+        def side_jac(bids):
+            origin = d.subtree_com[rootid[bids]]  # (L, 3)
+            arm = pos_l[:, None, :] - origin[:, None, :]  # (L, 1, 3)
+            jacp = lin[None] + jnp.cross(
+                jnp.broadcast_to(ang[None], (len(lanes), nv, 3)), arm
+            )  # (L, nv, 3)
+            mask = jnp.asarray(bdm[bids], dtype=dtype)[:, :, None]
+            return (jacp * mask).transpose(0, 2, 1)  # (L, 3, nv)
+
+        return side_jac(b2) - side_jac(b1), b1, b2
+
+    lanes3 = [i for i, c in enumerate(condims) if c == 3]
+    lanes1 = [i for i, c in enumerate(condims) if c == 1]
+    bad = [c for c in condims if c not in (1, 3)]
+    if bad:
+        raise NotImplementedError(f"condim {bad[0]} not yet supported")
+
+    for lanes, condim in ((lanes1, 1), (lanes3, 3)):
+        if not lanes:
+            continue
+        idx = np.array(lanes)
+        jdiff, b1, b2 = lane_jacobians(lanes)  # (L, 3, nv)
+        frame = con.frame[idx]  # (L, 3, 3) world rows [n, t1, t2]
+        dist = con.dist[idx]
+        margin = con.includemargin[idx]
         exists = dist < margin
         pos = jnp.where(exists, dist - margin, 0.0)
-        jdiff = (
-            _point_jac(model, d, con.pos[ci], b2)
-            - _point_jac(model, d, con.pos[ci], b1)
-        )  # (3, nv), velocity of b2 relative to b1 at contact point
-        frame = con.frame[ci]
-        jn = frame[0] @ jdiff
-        iw = model.body_invweight0[b1][0] + model.body_invweight0[b2][0]
-        solref, solimp = con.solref[ci], con.solimp[ci]
+        iw = model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0]
+        jn = jnp.einsum("lk,lkv->lv", frame[:, 0], jdiff)  # (L, nv)
         if condim == 1:
-            rows.add(model, jn, pos, solref, solimp, iw, exists, True,
-                     vel=jnp.dot(jn, d.qvel))
-        elif condim == 3:
-            mu = con.friction[ci]
-            for ti in range(2):
-                jt = frame[1 + ti] @ jdiff
-                for sgn in (1.0, -1.0):
-                    J = jn + sgn * mu[ti] * jt
-                    # mj_diagApprox pyramidal factor (verified vs efc_D):
-                    # 2 * mu^2 * (1 + mu^2)
-                    mu2 = mu[ti] * mu[ti]
-                    dap = iw * 2.0 * mu2 * (1.0 + mu2)
-                    rows.add(model, J, pos, solref, solimp, dap, exists, True,
-                             vel=jnp.dot(J, d.qvel))
+            rows.add_block(
+                model, jn, pos, con.solref[idx], con.solimp[idx], iw, exists,
+                True, vel=jn @ d.qvel,
+            )
         else:
-            raise NotImplementedError(f"condim {condim} not yet supported")
+            jt = jnp.einsum("ltk,lkv->ltv", frame[:, 1:3], jdiff)  # (L, 2, nv)
+            mu = con.friction[idx][:, :2]  # (L, 2)
+            signs = jnp.asarray([1.0, -1.0], dtype=dtype)
+            # rows ordered (t1+, t1-, t2+, t2-) to match MuJoCo
+            J4 = (
+                jn[:, None, None, :]
+                + signs[None, None, :, None] * mu[:, :, None, None] * jt[:, :, None, :]
+            )  # (L, 2, 2, nv)
+            L = len(lanes)
+            J4 = J4.reshape(L * 4, nv)
+            mu2 = (mu * mu).astype(dtype)  # (L, 2)
+            # mj_diagApprox pyramidal factor (verified vs efc_D):
+            # 2 * mu^2 * (1 + mu^2)
+            dap = (iw[:, None] * 2.0 * mu2 * (1.0 + mu2))[:, :, None]
+            dap = jnp.broadcast_to(dap, (L, 2, 2)).reshape(L * 4)
+            rep = lambda x: jnp.repeat(x, 4, axis=0)
+            rows.add_block(
+                model, J4, rep(pos), rep(con.solref[idx]), rep(con.solimp[idx]),
+                dap, rep(exists), True, vel=J4 @ d.qvel,
+            )
 
     if not rows.J:
         return None
     return dict(
-        J=jnp.stack(rows.J),
-        pos=jnp.stack(rows.pos),
-        aref=jnp.stack(rows.aref),
-        D=jnp.stack(rows.D),
-        exists=jnp.stack(rows.exists),
+        J=jnp.concatenate(rows.J),
+        pos=jnp.concatenate(rows.pos),
+        aref=jnp.concatenate(rows.aref),
+        D=jnp.concatenate(rows.D),
+        exists=jnp.concatenate(rows.exists),
         unilateral=np.array(rows.unilateral),  # static (nefc,)
     )
 
@@ -332,8 +390,12 @@ def _linesearch(efc, jar, jp, d0_gauss, slope_gauss):
 def _solve_cg(model: Model, d: Data, efc):
     """Nonlinear CG with exact line search and Polak-Ribiere restarts."""
     qM = d.qM
-    chol = jnp.linalg.cholesky(qM)
-    solve_m = lambda v: jax.scipy.linalg.cho_solve((chol, True), v)
+    if model.nv <= maths.UNROLL_CHOLESKY_MAX_N:
+        chol = maths.cholesky_unrolled(qM)
+        solve_m = lambda v: maths.cho_solve_unrolled(chol, v)
+    else:
+        chol = jnp.linalg.cholesky(qM)
+        solve_m = lambda v: jax.scipy.linalg.cho_solve((chol, True), v)
     J = efc["J"]
     aref = efc["aref"]
     qacc_smooth = d.qacc_smooth
@@ -422,8 +484,7 @@ def _solve_newton(model: Model, d: Data, efc):
         grad = qM @ x - qfrc_smooth - J.T @ f
         w = jnp.where(act, efc["D"], 0.0)
         hess = qM + (J.T * w) @ J
-        chol = jnp.linalg.cholesky(hess)
-        p = -jax.scipy.linalg.cho_solve((chol, True), grad)
+        p = -maths.solve_pd_unrolled(hess, grad)
         jp = J @ p
         d0_gauss = jnp.dot(p, qM @ x - qfrc_smooth)
         slope_gauss = jnp.dot(p, qM @ p)

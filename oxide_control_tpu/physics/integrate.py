@@ -17,6 +17,9 @@ from . import maths
 def integrate_pos(model: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
     """mj_integratePos: qpos += dt * qvel on the configuration manifold
     (quaternion joints integrate on SO(3) with local angular velocity)."""
+    # fast path: all scalar joints (hinge/slide) -> plain vector update
+    if all(t in (JointType.HINGE, JointType.SLIDE) for t in model.jnt_type):
+        return qpos + dt * qvel
     out = qpos
     for j in range(model.njnt):
         jt = model.jnt_type[j]
@@ -50,9 +53,7 @@ def euler(model: Model, d: Data) -> Data:
     if damped:
         mhb = d.qM + h * jnp.diag(model.dof_damping)
         qfrc = d.qfrc_smooth + d.qfrc_constraint
-        dv = h * jax.scipy.linalg.cho_solve(
-            (jnp.linalg.cholesky(mhb), True), qfrc
-        )
+        dv = h * maths.solve_pd_unrolled(mhb, qfrc)
         qvel = d.qvel + dv
     else:
         qvel = d.qvel + h * d.qacc

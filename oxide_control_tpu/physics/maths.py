@@ -253,6 +253,66 @@ def transform_motion(v: jax.Array, offset: jax.Array) -> jax.Array:
     return jnp.concatenate([w, l + jnp.cross(w, offset)], axis=-1)
 
 
+def cholesky_unrolled(a: jax.Array) -> jax.Array:
+    """Lower-Cholesky factor of a small SPD matrix, fully unrolled.
+
+    XLA's native Cholesky lowers to a While loop with ~ms latency per call
+    on TPU — catastrophic inside the Newton iteration chain.  For the small
+    static nv of control models (<= ~30) an unrolled scalar graph fuses into
+    a handful of elementwise kernels over the env batch under vmap.
+    """
+    n = a.shape[-1]
+    assert a.ndim == 2, "unbatched (n, n); batch via vmap"
+    l = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = a[j, j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        l[j][j] = jnp.sqrt(s)
+        inv = 1.0 / l[j][j]
+        for i in range(j + 1, n):
+            s = a[i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            l[i][j] = s * inv
+        for i in range(j):
+            l[i][j] = jnp.zeros((), dtype=a.dtype)
+    return jnp.stack([jnp.stack(row) for row in l])
+
+
+def cho_solve_unrolled(l: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b given the unrolled lower-Cholesky factor of A."""
+    n = l.shape[-1]
+    assert b.ndim == 1
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - l[i, k] * y[k]
+        y[i] = s / l[i, i]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k, i] * x[k]
+        x[i] = s / l[i, i]
+    return jnp.stack(x)
+
+
+# Above this size the unrolled scalar graph bloats trace/compile time more
+# than it saves at runtime; fall back to the library factorization.
+UNROLL_CHOLESKY_MAX_N = 16
+
+
+def solve_pd_unrolled(a: jax.Array, b: jax.Array) -> jax.Array:
+    """x = A^-1 b for small SPD A; unrolled below UNROLL_CHOLESKY_MAX_N."""
+    if a.shape[-1] <= UNROLL_CHOLESKY_MAX_N:
+        return cho_solve_unrolled(cholesky_unrolled(a), b)
+    return jax.scipy.linalg.cho_solve(
+        (jnp.linalg.cholesky(a), True), b
+    )
+
+
 def transform_force(f: jax.Array, offset: jax.Array) -> jax.Array:
     """Shift the reference origin of a force vector to new = old + offset.
 

@@ -502,7 +502,5 @@ def fwd_acceleration(model: Model, d: Data) -> Data:
         + d.qfrc_applied
         + xfrc_accumulate(model, d)
     )
-    qacc_smooth = jax.scipy.linalg.cho_solve(
-        (jnp.linalg.cholesky(d.qM), True), qfrc_smooth
-    )
+    qacc_smooth = maths.solve_pd_unrolled(d.qM, qfrc_smooth)
     return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)

@@ -1,0 +1,73 @@
+"""Auxiliary subsystems: checkpoint/resume, divergence flags + auto-reset
+recovery (fault injection), profiling meter (SURVEY.md §5)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oxide_control_tpu import suite
+from oxide_control_tpu.physics import forward as fwd
+from oxide_control_tpu.state import make_data
+from oxide_control_tpu.utils import checkpoint as ckpt
+from oxide_control_tpu.utils.divergence import divergence_flags
+
+
+def test_checkpoint_exact_resume(tmp_path):
+    env = suite.load("cartpole", "swingup")
+    data, _ = env.reset(jax.random.PRNGKey(0))
+    for i in range(5):
+        data, _ = env.step(data, jnp.ones(1) * 0.3)
+
+    path = os.path.join(tmp_path, "ck.npz")
+    ckpt.save(path, data, rng=jax.random.PRNGKey(42))
+    restored, rng = ckpt.load(path, env.model)
+    assert rng is not None
+
+    # continuation must be bit-identical
+    d1, ts1 = env.step(data, jnp.ones(1) * -0.2)
+    d2, ts2 = env.step(restored, jnp.ones(1) * -0.2)
+    np.testing.assert_array_equal(np.asarray(d1.qpos), np.asarray(d2.qpos))
+    np.testing.assert_array_equal(np.asarray(d1.qvel), np.asarray(d2.qvel))
+    np.testing.assert_array_equal(
+        np.asarray(ts1.observation), np.asarray(ts2.observation)
+    )
+
+
+def test_divergence_flags_and_recovery():
+    """Fault injection: force NaN into selected env lanes; the batched step
+    must flag them and auto-reset recovers them (SURVEY.md §5.3)."""
+    benv = suite.load_batched("pendulum", "swingup", 4, dtype=np.float64)
+    rng = jax.random.PRNGKey(0)
+    data, _ = benv.reset(rng)
+    # inject NaN into lane 2
+    bad_qvel = np.asarray(data.qvel).copy()
+    bad_qvel[2] = np.nan
+    data = data.replace(qvel=jnp.asarray(bad_qvel))
+
+    flags = jax.vmap(lambda d: divergence_flags(benv.model, d))(data)
+    np.testing.assert_array_equal(np.asarray(flags), [False, False, True, False])
+
+    data, ts = benv.step(data, jnp.zeros((4, 1)), jax.random.PRNGKey(1))
+    done = np.asarray(ts.done)
+    assert done[2]
+    # recovered lane is reinitialized with finite state
+    assert np.all(np.isfinite(np.asarray(data.qvel)))
+    # healthy lanes unaffected
+    assert not done[0] and not done[1] and not done[3]
+
+
+def test_divergence_maxval_bounds():
+    env = suite.load("pendulum", "swingup")
+    data, _ = env.reset(jax.random.PRNGKey(0))
+    data = data.replace(qvel=jnp.full_like(data.qvel, 1e12))
+    assert bool(divergence_flags(env.model, data))
+
+
+def test_step_rate_meter():
+    from oxide_control_tpu.utils.profiling import StepRateMeter
+
+    m = StepRateMeter()
+    m.add(1000)
+    assert m.rate > 0
