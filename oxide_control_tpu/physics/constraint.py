@@ -501,6 +501,60 @@ def _solve_newton(model: Model, d: Data, efc):
     )
 
 
+def _solve_pgs(model: Model, d: Data, efc):
+    """Dual projected Gauss-Seidel (mj_solPGS analog, pyramidal cone).
+
+    Solves min 0.5 f^T A f + f^T b over f >= 0 (unilateral rows) with
+    A = J M^-1 J^T + diag(R), b = J qacc_smooth - aref.  The sweep is
+    sequential over rows (unrolled: nefc is static and small) but fully
+    vectorized over the env batch.
+    """
+    qM = d.qM
+    chol = jnp.linalg.cholesky(qM)
+    J = efc["J"]
+    aref = efc["aref"]
+    exists = efc["exists"]
+    uni = jnp.asarray(efc["unilateral"]) & exists
+    ne = J.shape[0]
+    r_diag = 1.0 / jnp.maximum(efc["D"], 1e-15)
+
+    minv_jt = jax.scipy.linalg.cho_solve((chol, True), J.T)  # (nv, ne)
+    a_mat = J @ minv_jt + jnp.diag(r_diag)
+    # inactive rows: make them inert (f stays 0, diagonal 1)
+    a_mat = jnp.where(exists[:, None] & exists[None, :], a_mat, 0.0)
+    diag = jnp.where(exists, jnp.diagonal(a_mat), 1.0)
+    b_vec = jnp.where(exists, J @ d.qacc_smooth - aref, 0.0)
+
+    # init from the better of warmstart/smooth (as the primal solvers do)
+    def cost_of(x):
+        jar = J @ x - aref
+        return _cost(efc, x, d.qacc_smooth, jar, qM), jar
+
+    c_ws, jar_ws = cost_of(d.qacc_warmstart)
+    c_sm, jar_sm = cost_of(d.qacc_smooth)
+    jar0 = jnp.where(c_ws < c_sm, jar_ws, jar_sm)
+    f0 = _efc_force(efc, jar0)
+
+    def sweep(_, f):
+        for i in range(ne):
+            resid = jnp.dot(a_mat[i], f) + b_vec[i]
+            fi = f[i] - resid / diag[i]
+            fi = jnp.where(jnp.asarray(efc["unilateral"])[i], jnp.maximum(fi, 0.0), fi)
+            fi = jnp.where(exists[i], fi, 0.0)
+            f = f.at[i].set(fi)
+        return f
+
+    f = jax.lax.fori_loop(0, model.opt.iterations, sweep, f0)
+    qfrc_constraint = J.T @ f
+    qacc = d.qacc_smooth + minv_jt @ f
+    return d.replace(
+        qacc=qacc,
+        qfrc_constraint=qfrc_constraint,
+        qacc_warmstart=qacc,
+        nefc_active=jnp.sum(exists, dtype=jnp.int32),
+    )
+
+
 def fwd_constraint(model: Model, d: Data) -> Data:
     """mj_fwdConstraint analog: assemble rows, solve, store qacc + forces."""
     efc = make_efc(model, d)
@@ -515,4 +569,6 @@ def fwd_constraint(model: Model, d: Data) -> Data:
 
     if model.opt.solver == SolverType.NEWTON:
         return _solve_newton(model, d, efc)
+    if model.opt.solver == SolverType.PGS:
+        return _solve_pgs(model, d, efc)
     return _solve_cg(model, d, efc)

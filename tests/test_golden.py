@@ -110,3 +110,19 @@ def test_determinism():
     )
     np.testing.assert_array_equal(qp1, qp2)
     np.testing.assert_array_equal(qv1, qv2)
+
+
+def test_free_body_pgs_solver():
+    """Solver-option parity: PGS dual solver vs MuJoCo PGS."""
+    xml = fixtures.FREE_BODY.replace(
+        'solver="CG" iterations="30"', 'solver="PGS" iterations="30"'
+    )
+    init = (
+        np.array([0.1, -0.2, 0.5, 1, 0, 0, 0]),
+        np.array([1.0, 0.5, 0.0, 2.0, -1.0, 0.5]),
+    )
+    # PGS converges linearly, so the two implementations agree less tightly
+    # than Newton (which reaches the optimum): ~2e-4 over 500 steps.
+    compare(fixtures.FREE_BODY.replace(
+        'solver="CG" iterations="30"', 'solver="PGS" iterations="30"'
+    ), 500, 3, 1e-3, init=init, vel_tol=1e-1)
