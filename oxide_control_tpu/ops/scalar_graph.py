@@ -1,0 +1,937 @@
+"""Scalar-graph physics step: the TPU speed-of-light formulation.
+
+The readable reference pipeline (``physics/``) expresses each env as small
+tensors and relies on vmap; on TPU that wastes >90% of every (8,128) vector
+tile on padding of the tiny trailing dims and pays a fusion-boundary/HBM
+round-trip per op.  This module instead builds the *entire* step as a graph
+of elementwise operations over flat ``(TILE,)`` env-batch vectors — the
+structure of the model (tree topology, joint axes, geom pairs, constraint
+rows) is compiled away at trace time into straight-line code:
+
+* every per-env scalar quantity is either a **python float constant**
+  (folded at build time — structural zeros vanish, so sparsity of the
+  Jacobian/mass matrix is exploited automatically) or a ``(TILE,)`` array;
+* there are no dots/gathers/reshapes, so XLA/Mosaic fuses the whole step;
+* the same builder output runs as plain jitted JAX (CPU validation against
+  the reference pipeline) or inside a single Pallas TPU kernel
+  (ops/megakernel.py) with K steps per kernel invocation.
+
+Supported model class (checked by :func:`supports`): scalar joints
+(hinge/slide), motor/general actuators on joints, plane-vs-sphere/capsule
+contacts (pyramidal, condim 1/3), joint limits, Newton solver, Euler
+integrator.  The general pipeline remains the fallback for everything else.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..model import (
+    BiasType,
+    GainType,
+    GeomType,
+    Integrator,
+    JointType,
+    Model,
+    SolverType,
+    TrnType,
+)
+from ..physics.collision import max_contacts_per_pair
+from ..physics import smooth
+
+# ---------------------------------------------------------------------------
+# constant-aware scalar ops
+# ---------------------------------------------------------------------------
+
+
+def _is_const(x) -> bool:
+    return isinstance(x, (int, float))
+
+
+def add(a, b):
+    if _is_const(a) and _is_const(b):
+        return a + b
+    if _is_const(a) and a == 0.0:
+        return b
+    if _is_const(b) and b == 0.0:
+        return a
+    return a + b
+
+
+def sub(a, b):
+    if _is_const(a) and _is_const(b):
+        return a - b
+    if _is_const(b) and b == 0.0:
+        return a
+    if _is_const(a) and a == 0.0:
+        return neg(b)
+    return a - b
+
+
+def neg(a):
+    return -a
+
+
+def mul(a, b):
+    if _is_const(a) and _is_const(b):
+        return a * b
+    if _is_const(a):
+        if a == 0.0:
+            return 0.0
+        if a == 1.0:
+            return b
+    if _is_const(b):
+        if b == 0.0:
+            return 0.0
+        if b == 1.0:
+            return a
+    return a * b
+
+
+def fma(acc, a, b):
+    return add(acc, mul(a, b))
+
+
+def dot3(a, b):
+    return add(add(mul(a[0], b[0]), mul(a[1], b[1])), mul(a[2], b[2]))
+
+
+def cross3(a, b):
+    return (
+        sub(mul(a[1], b[2]), mul(a[2], b[1])),
+        sub(mul(a[2], b[0]), mul(a[0], b[2])),
+        sub(mul(a[0], b[1]), mul(a[1], b[0])),
+    )
+
+
+def vadd3(a, b):
+    return tuple(add(x, y) for x, y in zip(a, b))
+
+
+def vsub3(a, b):
+    return tuple(sub(x, y) for x, y in zip(a, b))
+
+
+def vscale3(a, s):
+    return tuple(mul(x, s) for x in a)
+
+
+def qmul(u, v):
+    w1, x1, y1, z1 = u
+    w2, x2, y2, z2 = v
+    return (
+        sub(sub(sub(mul(w1, w2), mul(x1, x2)), mul(y1, y2)), mul(z1, z2)),
+        sub(add(add(mul(w1, x2), mul(x1, w2)), mul(y1, z2)), mul(z1, y2)),
+        add(sub(mul(w1, y2), mul(x1, z2)), add(mul(y1, w2), mul(z1, x2))),
+        add(sub(add(mul(w1, z2), mul(x1, y2)), mul(y1, x2)), mul(z1, w2)),
+    )
+
+
+def qrot(q, v):
+    """Rotate vec3 by quat: v + 2 w (qv x v) + 2 qv x (qv x v)."""
+    qv = (q[1], q[2], q[3])
+    t = vscale3(cross3(qv, v), 2.0)
+    return vadd3(v, vadd3(vscale3(t, q[0]), cross3(qv, t)))
+
+
+def quat_to_mat(q):
+    w, x, y, z = q
+    return (
+        sub(1.0, mul(2.0, add(mul(y, y), mul(z, z)))),
+        mul(2.0, sub(mul(x, y), mul(w, z))),
+        mul(2.0, add(mul(x, z), mul(w, y))),
+        mul(2.0, add(mul(x, y), mul(w, z))),
+        sub(1.0, mul(2.0, add(mul(x, x), mul(z, z)))),
+        mul(2.0, sub(mul(y, z), mul(w, x))),
+        mul(2.0, sub(mul(x, z), mul(w, y))),
+        mul(2.0, add(mul(y, z), mul(w, x))),
+        sub(1.0, mul(2.0, add(mul(x, x), mul(y, y)))),
+    )
+
+
+def mat_col(m, i):
+    return (m[i], m[3 + i], m[6 + i])
+
+
+def mat_vec(m, v):
+    return (
+        dot3((m[0], m[1], m[2]), v),
+        dot3((m[3], m[4], m[5]), v),
+        dot3((m[6], m[7], m[8]), v),
+    )
+
+
+def axis_angle_quat(axis_const, angle):
+    """Constant unit axis + traced angle -> quat components."""
+    half = angle * 0.5
+    c = jnp.cos(half)
+    s = jnp.sin(half)
+    return (c, mul(float(axis_const[0]), s), mul(float(axis_const[1]), s),
+            mul(float(axis_const[2]), s))
+
+
+# ---------------------------------------------------------------------------
+# support predicate
+# ---------------------------------------------------------------------------
+
+
+def supports(model: Model) -> bool:
+    """True if the scalar-graph fast path can run this model."""
+    if model.neq or model.nmocap:
+        return False
+    if any(t not in (JointType.HINGE, JointType.SLIDE) for t in model.jnt_type):
+        return False
+    if model.opt.integrator != Integrator.EULER:
+        return False
+    if model.opt.solver != SolverType.NEWTON:
+        return False
+    if any(t != TrnType.JOINT for t in model.actuator_trntype):
+        return False
+    if np.any(np.asarray(model.dof_frictionloss) > 0):
+        return False
+    for (t1, t2, pairs) in model.pair_groups:
+        if GeomType(t1) != GeomType.PLANE:
+            return False
+        if GeomType(t2) not in (GeomType.SPHERE, GeomType.CAPSULE):
+            return False
+    for c in model.pair_condim:
+        if c not in (1, 3):
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# step builder
+# ---------------------------------------------------------------------------
+
+
+def _np(model_arr):
+    return np.asarray(jax.device_get(model_arr), dtype=np.float64)
+
+
+class _ModelConsts:
+    """All model parameters as python floats / numpy arrays."""
+
+    def __init__(self, model: Model):
+        self.m = model
+        for name in (
+            "qpos0", "qpos_spring", "body_pos", "body_quat", "body_ipos",
+            "body_iquat", "body_mass", "body_inertia", "jnt_pos", "jnt_axis",
+            "jnt_range", "jnt_stiffness", "jnt_margin", "jnt_solref",
+            "jnt_solimp", "dof_armature", "dof_damping", "dof_invweight0",
+            "body_invweight0", "geom_pos", "geom_quat", "geom_size",
+            "actuator_gear", "actuator_ctrlrange", "actuator_forcerange",
+            "actuator_gainprm", "actuator_biasprm", "pair_friction",
+            "pair_solref", "pair_solimp", "pair_margin", "pair_gap",
+        ):
+            setattr(self, name, _np(getattr(model, name)))
+
+
+def build_step(model: Model, with_env: bool = False, task=None):
+    """Build the scalar-graph step function.
+
+    Returns ``step(qpos, qvel, warmstart, ctrl[, time]) -> (qpos', qvel',
+    warmstart'[, time', reward, done])`` where qpos/qvel/... are python
+    lists of (TILE,) arrays (one per generalized coordinate / actuator).
+    """
+    assert supports(model), "model not supported by scalar-graph fast path"
+    mc = _ModelConsts(model)
+    nq, nv, nu, nbody = model.nq, model.nv, model.nu, model.nbody
+    h = float(model.opt.timestep)
+    gravity = tuple(float(g) for g in model.opt.gravity)
+    if model.opt.disable_gravity:
+        gravity = (0.0, 0.0, 0.0)
+
+    anc = smooth.dof_ancestor_mask(model)          # (nv, nv)
+    bd_mask = smooth.body_dof_mask(model)          # (nbody, nv)
+    sub_mask = smooth.subtree_mask(model)          # (nbody, nbody)
+
+    def step(qpos, qvel, warmstart, ctrl, time=None, debug=None):
+        # ----------------- FK -----------------
+        # xanchor/xaxis are captured DURING the walk (before each joint's
+        # own transform), matching mj_kinematics: a later joint of the same
+        # body must not rotate an earlier slide axis.
+        xpos = [(0.0, 0.0, 0.0)] * nbody
+        xquat = [(1.0, 0.0, 0.0, 0.0)] * nbody
+        xanchor = [None] * model.njnt
+        xaxis = [None] * model.njnt
+        for b in range(1, nbody):
+            p = model.body_parentid[b]
+            pos = vadd3(xpos[p], qrot(xquat[p], tuple(mc.body_pos[b])))
+            quat = qmul(xquat[p], tuple(mc.body_quat[b]))
+            for j in smooth.body_joints(model, b):
+                jt = model.jnt_type[j]
+                qadr = model.jnt_qposadr[j]
+                axis_local = mc.jnt_axis[j]
+                jpos_local = tuple(mc.jnt_pos[j])
+                axis_w = qrot(quat, tuple(axis_local))
+                anchor = vadd3(pos, qrot(quat, jpos_local))
+                if jt == JointType.SLIDE:
+                    disp = sub(qpos[qadr], float(mc.qpos0[qadr]))
+                    pos = vadd3(pos, vscale3(axis_w, disp))
+                else:  # hinge
+                    angle = sub(qpos[qadr], float(mc.qpos0[qadr]))
+                    qloc = axis_angle_quat(axis_local, angle)
+                    quat = qmul(quat, qloc)
+                    pos = vsub3(anchor, qrot(quat, jpos_local))
+                xanchor[j] = anchor
+                xaxis[j] = axis_w
+            xpos[b] = pos
+            xquat[b] = quat
+        xmat = [quat_to_mat(q) for q in xquat]
+        xipos = [
+            vadd3(xpos[b], mat_vec(xmat[b], tuple(mc.body_ipos[b])))
+            for b in range(nbody)
+        ]
+
+        # ----------------- com quantities -----------------
+        # subtree_com of each root's tree; scalar-joint models keep masses
+        # constant so weights are python floats
+        subtree_com = [None] * nbody
+        for b in range(nbody):
+            members = [c for c in range(nbody) if sub_mask[b, c]]
+            total = float(sum(mc.body_mass[c] for c in members))
+            if total <= 0:
+                subtree_com[b] = xpos[b]
+                continue
+            acc = (0.0, 0.0, 0.0)
+            for c in members:
+                w = float(mc.body_mass[c]) / total
+                if w:
+                    acc = vadd3(acc, vscale3(xipos[c], w))
+            subtree_com[b] = acc
+
+        # spatial inertia (I0 6 unique, h 3, mass const) about root com
+        cin_i = [None] * nbody  # dict of 6: (xx, yy, zz, xy, xz, yz)
+        cin_h = [None] * nbody
+        for b in range(nbody):
+            mb = float(mc.body_mass[b])
+            origin = subtree_com[model.body_rootid[b]]
+            imat = quat_to_mat(qmul(xquat[b], tuple(mc.body_iquat[b])))
+            d1, d2, d3 = (float(x) for x in mc.body_inertia[b])
+            # I_c = R diag R^T
+            r = imat
+            icc = {}
+            for a_ in range(3):
+                for c_ in range(a_, 3):
+                    icc[(a_, c_)] = add(
+                        add(
+                            mul(mul(r[3 * a_ + 0], r[3 * c_ + 0]), d1),
+                            mul(mul(r[3 * a_ + 1], r[3 * c_ + 1]), d2),
+                        ),
+                        mul(mul(r[3 * a_ + 2], r[3 * c_ + 2]), d3),
+                    )
+            c3 = vsub3(xipos[b], origin)
+            cc = dot3(c3, c3)
+            i0 = {}
+            for a_ in range(3):
+                for c_ in range(a_, 3):
+                    paxis = mul(mb, sub(mul(1.0 if a_ == c_ else 0.0, cc),
+                                        mul(c3[a_], c3[c_])))
+                    i0[(a_, c_)] = add(icc[(a_, c_)], paxis)
+            cin_i[b] = i0
+            cin_h[b] = vscale3(c3, mb)
+
+        # cdof per dof: (ang3, lin3)
+        cdof = [None] * nv
+        for j in range(model.njnt):
+            jt = model.jnt_type[j]
+            vadr = model.jnt_dofadr[j]
+            b = model.jnt_bodyid[j]
+            com = subtree_com[model.body_rootid[b]]
+            if jt == JointType.SLIDE:
+                cdof[vadr] = ((0.0, 0.0, 0.0), xaxis[j])
+            else:
+                off = vsub3(com, xanchor[j])
+                cdof[vadr] = (xaxis[j], cross3(xaxis[j], off))
+
+        # ----------------- CRB -> M -----------------
+        crb_i = [dict(cin_i[b]) for b in range(nbody)]
+        crb_h = [list(cin_h[b]) for b in range(nbody)]
+        crb_m = [float(mc.body_mass[b]) for b in range(nbody)]
+        for b in range(nbody - 1, 0, -1):
+            p = model.body_parentid[b]
+            for key in crb_i[b]:
+                crb_i[p][key] = add(crb_i[p][key], crb_i[b][key])
+            for k3 in range(3):
+                crb_h[p][k3] = add(crb_h[p][k3], crb_h[b][k3])
+            crb_m[p] += crb_m[b]
+
+        def inert_mul(i0, h3, mm, ang, lin):
+            """(I0, h, m) applied to motion (ang, lin) -> force (t, f)."""
+            def sym(a_, c_):
+                return i0[(a_, c_)] if a_ <= c_ else i0[(c_, a_)]
+
+            t = tuple(
+                add(
+                    add(
+                        add(mul(sym(r_, 0), ang[0]), mul(sym(r_, 1), ang[1])),
+                        mul(sym(r_, 2), ang[2]),
+                    ),
+                    cross3(h3, lin)[r_],
+                )
+                for r_ in range(3)
+            )
+            f = tuple(
+                sub(mul(mm, lin[r_]), cross3(h3, ang)[r_]) for r_ in range(3)
+            )
+            return t, f
+
+        m_mat = {}
+        for i in range(nv):
+            bi = model.dof_bodyid[i]
+            t, f = inert_mul(crb_i[bi], crb_h[bi], crb_m[bi], cdof[i][0], cdof[i][1])
+            for j in range(nv):
+                if anc[i, j]:  # j ancestor-or-self of i
+                    val = add(dot3(cdof[j][0], t), dot3(cdof[j][1], f))
+                    m_mat[(max(i, j), min(i, j))] = val
+        for i in range(nv):
+            arm = float(mc.dof_armature[i])
+            if arm:
+                m_mat[(i, i)] = add(m_mat[(i, i)], arm)
+
+        # ----------------- velocity stage -----------------
+        cvel = [((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))] * nbody
+        cdof_dot = [((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))] * nv
+        for b in range(1, nbody):
+            p = model.body_parentid[b]
+            va, vl = cvel[p]
+            for j in smooth.body_joints(model, b):
+                i = model.jnt_dofadr[j]
+                ca, cl = cdof[i]
+                # cdofdot = cvel x cdof (motion cross)
+                cdof_dot[i] = (
+                    cross3(va, ca),
+                    vadd3(cross3(va, cl), cross3(vl, ca)),
+                )
+                va = vadd3(va, vscale3(ca, qvel[i]))
+                vl = vadd3(vl, vscale3(cl, qvel[i]))
+            cvel[b] = (va, vl)
+
+        # rne (bias forces)
+        cacc = [((0.0, 0.0, 0.0), (neg(gravity[0]), neg(gravity[1]), neg(gravity[2])))] * nbody
+        cacc[0] = ((0.0, 0.0, 0.0), (-gravity[0], -gravity[1], -gravity[2]))
+        for b in range(1, nbody):
+            p = model.body_parentid[b]
+            aa, al = cacc[p]
+            for j in smooth.body_joints(model, b):
+                i = model.jnt_dofadr[j]
+                da, dl = cdof_dot[i]
+                aa = vadd3(aa, vscale3(da, qvel[i]))
+                al = vadd3(al, vscale3(dl, qvel[i]))
+            cacc[b] = (aa, al)
+
+        cfrc = [None] * nbody
+        for b in range(nbody):
+            iv_t, iv_f = inert_mul(cin_i[b], cin_h[b], float(mc.body_mass[b]),
+                                   cvel[b][0], cvel[b][1])
+            ia_t, ia_f = inert_mul(cin_i[b], cin_h[b], float(mc.body_mass[b]),
+                                   cacc[b][0], cacc[b][1])
+            va, vl = cvel[b]
+            # force cross: v x* f
+            fc_t = vadd3(cross3(va, iv_t), cross3(vl, iv_f))
+            fc_f = cross3(va, iv_f)
+            cfrc[b] = (vadd3(ia_t, fc_t), vadd3(ia_f, fc_f))
+
+        # backward accumulate + project
+        cfrc_tot = [list(map(list, cfrc[b])) for b in range(nbody)]
+        for b in range(nbody - 1, 0, -1):
+            p = model.body_parentid[b]
+            for part in range(2):
+                for k3 in range(3):
+                    cfrc_tot[p][part][k3] = add(
+                        cfrc_tot[p][part][k3], cfrc_tot[b][part][k3]
+                    )
+        qfrc_bias = []
+        for i in range(nv):
+            bi = model.dof_bodyid[i]
+            t = tuple(cfrc_tot[bi][0])
+            f = tuple(cfrc_tot[bi][1])
+            qfrc_bias.append(add(dot3(cdof[i][0], t), dot3(cdof[i][1], f)))
+
+        # ----------------- passive + actuation -----------------
+        qfrc_passive = []
+        for i in range(nv):
+            j = model.dof_jntid[i]
+            qadr = model.jnt_qposadr[j]
+            stiff = float(mc.jnt_stiffness[j])
+            spring = 0.0
+            if stiff:
+                spring = mul(-stiff, sub(qpos[qadr], float(mc.qpos_spring[qadr])))
+            damp = mul(-float(mc.dof_damping[i]), qvel[i])
+            qfrc_passive.append(add(spring, damp))
+
+        qfrc_actuator = [0.0] * nv
+        for u in range(nu):
+            j = model.actuator_trnid[u]
+            vadr = model.jnt_dofadr[j]
+            qadr = model.jnt_qposadr[j]
+            gear = float(mc.actuator_gear[u][0])
+            c = ctrl[u]
+            if model.actuator_ctrllimited[u]:
+                lo, hi = mc.actuator_ctrlrange[u]
+                c = jnp.clip(c, float(lo), float(hi))
+            length = mul(gear, qpos[qadr])
+            velocity = mul(gear, qvel[vadr])
+            gp = mc.actuator_gainprm[u]
+            if model.actuator_gaintype[u] == GainType.FIXED:
+                gain = float(gp[0])
+            else:
+                gain = add(add(float(gp[0]), mul(float(gp[1]), length)),
+                           mul(float(gp[2]), velocity))
+            bp = mc.actuator_biasprm[u]
+            if model.actuator_biastype[u] == BiasType.NONE:
+                bias = 0.0
+            else:
+                bias = add(add(float(bp[0]), mul(float(bp[1]), length)),
+                           mul(float(bp[2]), velocity))
+            force = add(mul(gain, c), bias)
+            if model.actuator_forcelimited[u]:
+                lo, hi = mc.actuator_forcerange[u]
+                force = jnp.clip(force, float(lo), float(hi))
+            qfrc_actuator[vadr] = add(qfrc_actuator[vadr], mul(gear, force))
+
+        qfrc_smooth = [
+            add(add(qfrc_passive[i], neg(qfrc_bias[i])), qfrc_actuator[i])
+            for i in range(nv)
+        ]
+
+        # ----------------- dense cholesky helpers -----------------
+        def chol_factor(mat, extra_diag=None):
+            """mat: dict {(i,j): val, i>=j}; returns L dict {(i,j)}."""
+            L = {}
+            for jcol in range(nv):
+                s = mat.get((jcol, jcol), 0.0)
+                if extra_diag is not None:
+                    s = add(s, extra_diag[jcol])
+                for k in range(jcol):
+                    if (jcol, k) in L:
+                        s = sub(s, mul(L[(jcol, k)], L[(jcol, k)]))
+                Ljj = jnp.sqrt(s) if not _is_const(s) else math.sqrt(s)
+                L[(jcol, jcol)] = Ljj
+                inv = 1.0 / Ljj
+                for i in range(jcol + 1, nv):
+                    s = mat.get((i, jcol), 0.0)
+                    for k in range(jcol):
+                        if (i, k) in L and (jcol, k) in L:
+                            s = sub(s, mul(L[(i, k)], L[(jcol, k)]))
+                    if _is_const(s) and s == 0.0:
+                        continue
+                    L[(i, jcol)] = mul(s, inv)
+            return L
+
+        def chol_solve(L, b_vec):
+            y = [None] * nv
+            for i in range(nv):
+                s = b_vec[i]
+                for k in range(i):
+                    if (i, k) in L:
+                        s = sub(s, mul(L[(i, k)], y[k]))
+                y[i] = mul(s, 1.0 / L[(i, i)]) if _is_const(L[(i, i)]) else s / L[(i, i)]
+            x = [None] * nv
+            for i in range(nv - 1, -1, -1):
+                s = y[i]
+                for k in range(i + 1, nv):
+                    if (k, i) in L:
+                        s = sub(s, mul(L[(k, i)], x[k]))
+                x[i] = mul(s, 1.0 / L[(i, i)]) if _is_const(L[(i, i)]) else s / L[(i, i)]
+            return x
+
+        l_m = chol_factor(m_mat)
+        qacc_smooth = chol_solve(l_m, qfrc_smooth)
+        if debug is not None:
+            debug.update(qacc_smooth=qacc_smooth, m_mat=m_mat,
+                         qfrc_smooth=qfrc_smooth, qfrc_bias=qfrc_bias,
+                         qfrc_passive=qfrc_passive, xpos=xpos, xquat=xquat,
+                         subtree_com=subtree_com, cdof=cdof)
+
+        # ----------------- collision + efc assembly -----------------
+        rows = _assemble_rows(
+            model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof, bd_mask, h
+        )
+        if debug is not None:
+            debug.update(rows=rows)
+
+        # ----------------- Newton solver -----------------
+        if rows:
+            x, jar, rows = _newton(
+                model, rows, m_mat, l_m, chol_factor, chol_solve,
+                qacc_smooth, qfrc_smooth, warmstart, nv,
+            )
+            qacc = x
+            qfrc_constraint = [0.0] * nv
+            if debug is not None:
+                debug.update(qacc=qacc)
+            for r in rows:
+                fr = r["force"]
+                for dof, val in r["J"].items():
+                    qfrc_constraint[dof] = fma(qfrc_constraint[dof], val, fr)
+        else:
+            qacc = qacc_smooth
+            qfrc_constraint = [0.0] * nv
+
+        new_ws = list(qacc)
+
+        # ----------------- Euler integration -----------------
+        if model.any_damping and not model.opt.disable_eulerdamp:
+            damp = [h * float(mc.dof_damping[i]) for i in range(nv)]
+            l_mhb = chol_factor(m_mat, extra_diag=damp)
+            qfrc_tot = [add(qfrc_smooth[i], qfrc_constraint[i]) for i in range(nv)]
+            dv = chol_solve(l_mhb, qfrc_tot)
+            qvel_new = [add(qvel[i], mul(h, dv[i])) for i in range(nv)]
+        else:
+            qvel_new = [add(qvel[i], mul(h, qacc[i])) for i in range(nv)]
+        qpos_new = [add(qpos[i], mul(h, qvel_new[i])) for i in range(nq)]
+
+        if time is None:
+            return qpos_new, qvel_new, new_ws
+        return qpos_new, qvel_new, new_ws, time + h
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# constraint rows + Newton (scalar-graph form)
+# ---------------------------------------------------------------------------
+
+
+def _kbi_const(model, solref, solimp, pos, h):
+    """Scalar-graph version of the impedance/aref transform; solref/solimp
+    are python constants, pos is traced."""
+    dmin, dmax, width, mid, power = (float(x) for x in solimp)
+    mid = min(max(mid, 0.0001), 0.9999)
+    power = max(power, 1.0)
+    timeconst, dampratio = (float(x) for x in solref)
+    tc = max(timeconst, 2.0 * h)
+    b_coef = 2.0 / (dmax * tc)
+    k_coef = 1.0 / (dmax * dmax * tc * tc * dampratio * dampratio)
+
+    x = jnp.abs(pos) * (1.0 / width if width > 0 else 1.0)
+    x = jnp.clip(x, 0.0, 1.0)
+    a_c = 1.0 / mid ** (power - 1.0)
+    b_c = 1.0 / (1.0 - mid) ** (power - 1.0)
+    if power == 2.0:
+        y = jnp.where(x < mid, a_c * x * x, 1.0 - b_c * (1.0 - x) * (1.0 - x))
+    else:
+        y = jnp.where(
+            x < mid,
+            a_c * jnp.power(x, power),
+            1.0 - b_c * jnp.power(1.0 - x, power),
+        )
+    imp = dmin + y * (dmax - dmin)
+    imp = jnp.clip(imp, 0.0001, 0.9999)
+    return k_coef, b_coef, imp
+
+
+def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
+                   bd_mask, h):
+    """Limit + contact rows as a list of dicts with sparse J."""
+    rows = []
+    nv = model.nv
+
+    # joint limits
+    for j in range(model.njnt):
+        if not model.jnt_limited[j]:
+            continue
+        qadr = model.jnt_qposadr[j]
+        vadr = model.jnt_dofadr[j]
+        lo, hi = (float(x) for x in mc.jnt_range[j])
+        margin = float(mc.jnt_margin[j])
+        q = qpos[qadr]
+        dist_lo = q - lo
+        dist_hi = hi - q
+        dist = jnp.minimum(dist_lo, dist_hi)
+        sign = jnp.where(dist_lo < dist_hi, 1.0, -1.0)
+        exists = dist < margin
+        pos = jnp.where(exists, dist - margin, 0.0)
+        k, b, imp = _kbi_const(model, mc.jnt_solref[j], mc.jnt_solimp[j], pos, h)
+        vel = mul(sign, qvel[vadr])
+        aref = -b * vel - k * imp * pos
+        dcoef = imp / (1.0 - imp) / max(float(mc.dof_invweight0[vadr]), 1e-12)
+        rows.append(dict(
+            J={vadr: sign}, pos=pos, aref=aref, D=dcoef, exists=exists,
+            unilateral=True,
+        ))
+
+    # plane contacts
+    lane = 0
+    for (t1, t2, pairs) in model.pair_groups:
+        kmax = max_contacts_per_pair(t1, t2)
+        for (g1, g2) in pairs:
+            plane_b = model.geom_bodyid[g1]
+            body = model.geom_bodyid[g2]
+            # world plane: position/orientation of plane geom
+            # (plane on world body with constant pose in suite models, but
+            # support moving planes via FK chain anyway)
+            pmat = _geom_mat(model, mc, g1, xmat)
+            ppos = _geom_pos(model, mc, g1, xpos, xmat)
+            n = mat_col(pmat, 2)
+            gpos = _geom_pos(model, mc, g2, xpos, xmat)
+            gmat = _geom_mat(model, mc, g2, xmat)
+            r = float(mc.geom_size[g2][0])
+
+            if GeomType(t2) == GeomType.SPHERE:
+                points = [gpos]
+            else:  # capsule: two end points
+                hl = float(mc.geom_size[g2][1])
+                axis = mat_col(gmat, 2)
+                points = [
+                    vadd3(gpos, vscale3(axis, hl)),
+                    vsub3(gpos, vscale3(axis, hl)),
+                ]
+                # frame tangent along capsule axis projection
+                t1v = vsub3(axis, vscale3(n, dot3(n, axis)))
+                t1n = jnp.sqrt(jnp.maximum(dot3(t1v, t1v), 1e-20))
+                # fallback: geom x axis projection
+                altv = mat_col(gmat, 0)
+                alt = vsub3(altv, vscale3(n, dot3(n, altv)))
+                altn = jnp.sqrt(jnp.maximum(dot3(alt, alt), 1e-20))
+                use_alt = t1n < 1e-10
+                t1u = tuple(
+                    jnp.where(use_alt, a / altn, t / t1n)
+                    for t, a in zip(t1v, alt)
+                )
+
+            if GeomType(t2) == GeomType.SPHERE:
+                # mju_makeFrame
+                t1u = None
+
+            condim = model.pair_condim[_lane_to_pair(model, lane)]
+            friction = mc.pair_friction[_lane_to_pair(model, lane)]
+            solref = mc.pair_solref[_lane_to_pair(model, lane)]
+            solimp = mc.pair_solimp[_lane_to_pair(model, lane)]
+            inclmargin = float(
+                mc.pair_margin[_lane_to_pair(model, lane)]
+                - mc.pair_gap[_lane_to_pair(model, lane)]
+            )
+            iw = float(mc.body_invweight0[plane_b][0] + mc.body_invweight0[body][0])
+
+            for point in points:
+                dist = sub(dot3(n, point), add(dot3(n, ppos), r))
+                exists = dist < inclmargin
+                posr = jnp.where(exists, dist - inclmargin, 0.0)
+                cpos = vsub3(point, vscale3(n, add(r, mul(0.5, dist))))
+                # tangent frame
+                if t1u is None:
+                    t1f, t2f = _make_frame_scalar(n)
+                else:
+                    t1f = t1u
+                    t2f = cross3(n, t1f)
+                # relative jacobian (body - plane_body) at cpos
+                jrows = _point_jac_rel(
+                    model, cdof, subtree_com, bd_mask, cpos, plane_b, body
+                )  # dict dof -> vec3
+                jn = {dof: dot3(n, v) for dof, v in jrows.items()}
+                k, b, imp = _kbi_const(model, solref, solimp, posr, h)
+                dapn = imp / (1.0 - imp)
+                if condim == 1:
+                    vel = _jdotv(jn, qvel)
+                    aref = -b * vel - k * imp * posr
+                    rows.append(dict(
+                        J=jn, pos=posr, aref=aref,
+                        D=dapn / max(iw, 1e-12),
+                        exists=exists, unilateral=True,
+                    ))
+                else:
+                    jt1 = {dof: dot3(t1f, v) for dof, v in jrows.items()}
+                    jt2 = {dof: dot3(t2f, v) for dof, v in jrows.items()}
+                    for ti, jt in ((0, jt1), (1, jt2)):
+                        mu = float(friction[ti])
+                        dap = iw * 2.0 * mu * mu * (1.0 + mu * mu)
+                        for sgn in (1.0, -1.0):
+                            J = dict(jn)
+                            for dof, val in jt.items():
+                                J[dof] = add(J.get(dof, 0.0), mul(sgn * mu, val))
+                            vel = _jdotv(J, qvel)
+                            aref = -b * vel - k * imp * posr
+                            rows.append(dict(
+                                J=J, pos=posr, aref=aref,
+                                D=dapn / max(dap, 1e-12),
+                                exists=exists, unilateral=True,
+                            ))
+                lane += 1
+    return rows
+
+
+def _lane_to_pair(model, lane):
+    idx = 0
+    count = 0
+    for (t1, t2, pairs) in model.pair_groups:
+        k = max_contacts_per_pair(t1, t2)
+        for _ in pairs:
+            if lane < count + k:
+                return idx
+            count += k
+            idx += 1
+    raise IndexError(lane)
+
+
+def _geom_pos(model, mc, g, xpos, xmat):
+    b = model.geom_bodyid[g]
+    return vadd3(xpos[b], mat_vec(xmat[b], tuple(mc.geom_pos[g])))
+
+
+def _geom_mat(model, mc, g, xmat):
+    b = model.geom_bodyid[g]
+    gq = tuple(mc.geom_quat[g])
+    gm = quat_to_mat(gq)
+    # xmat[b] @ gm, with constant folding (identity quats vanish)
+    out = []
+    for i in range(3):
+        for jcol in range(3):
+            s = 0.0
+            for k in range(3):
+                s = fma(s, xmat[model.geom_bodyid[g]][3 * i + k], gm[3 * k + jcol])
+            out.append(s)
+    return tuple(out)
+
+
+def _make_frame_scalar(n):
+    """mju_makeFrame in scalar form (traced normal)."""
+    use_y = jnp.abs(n[1]) < 0.5
+    seed = tuple(jnp.where(use_y, s_y, s_z) for s_y, s_z in
+                 ((0.0, 0.0), (1.0, 0.0), (0.0, 1.0)))
+    d = dot3(n, seed)
+    t1 = vsub3(seed, vscale3(n, d))
+    t1n = jnp.sqrt(jnp.maximum(dot3(t1, t1), 1e-20))
+    t1 = tuple(t / t1n for t in t1)
+    return t1, cross3(n, t1)
+
+
+def _point_jac_rel(model, cdof, subtree_com, bd_mask, point, b1, b2):
+    """Sparse dict dof -> vec3: translational jacobian of `point` on b2
+    relative to b1."""
+    out = {}
+    for body, s in ((b2, 1.0), (b1, -1.0)):
+        origin = subtree_com[model.body_rootid[body]]
+        arm = vsub3(point, origin)
+        for dof in range(model.nv):
+            if not bd_mask[body, dof]:
+                continue
+            ang, lin = cdof[dof]
+            contrib = vadd3(lin, cross3(ang, arm))
+            if s < 0:
+                contrib = tuple(neg(c) for c in contrib)
+            if dof in out:
+                out[dof] = vadd3(out[dof], contrib)
+            else:
+                out[dof] = contrib
+    return out
+
+
+def _jdotv(jrow, qvel):
+    s = 0.0
+    for dof, val in jrow.items():
+        s = fma(s, val, qvel[dof])
+    return s
+
+
+def _newton(model, rows, m_mat, l_m, chol_factor, chol_solve, qacc_smooth,
+            qfrc_smooth, warmstart, nv):
+    """Scalar-graph Newton solver with sort-free exact-ish line search."""
+    ne = len(rows)
+
+    def jar_of(x):
+        return [sub(_jdotv(r["J"], x), r["aref"]) for r in rows]
+
+    def cost_parts(x, jar):
+        # gauss: 0.5 (x - xs)^T M (x - xs)
+        dx = [sub(x[i], qacc_smooth[i]) for i in range(nv)]
+        mdx = _mat_vec_sym(m_mat, dx, nv)
+        gauss = 0.0
+        for i in range(nv):
+            gauss = fma(gauss, dx[i], mdx[i])
+        gauss = mul(0.5, gauss)
+        cons = 0.0
+        for r, jr in zip(rows, jar):
+            act = r["exists"] & (jr < 0) if r["unilateral"] else r["exists"]
+            cons = add(cons, jnp.where(act, 0.5 * r["D"] * jr * jr, 0.0))
+        return add(gauss, cons)
+
+    jar_ws = jar_of(warmstart)
+    jar_sm = jar_of(qacc_smooth)
+    c_ws = cost_parts(warmstart, jar_ws)
+    c_sm = cost_parts(qacc_smooth, jar_sm)
+    use_ws = c_ws < c_sm
+    x = [jnp.where(use_ws, warmstart[i], qacc_smooth[i]) for i in range(nv)]
+    jar = [jnp.where(use_ws, a, b) for a, b in zip(jar_ws, jar_sm)]
+
+    for _ in range(model.opt.iterations):
+        act = [
+            (r["exists"] & (jr < 0)) if r["unilateral"] else r["exists"]
+            for r, jr in zip(rows, jar)
+        ]
+        f = [jnp.where(a, -r["D"] * jr, 0.0) for a, r, jr in zip(act, rows, jar)]
+        mx = _mat_vec_sym(m_mat, x, nv)
+        grad = [sub(sub(mx[i], qfrc_smooth[i]), 0.0) for i in range(nv)]
+        for r, fr in zip(rows, f):
+            for dof, val in r["J"].items():
+                grad[dof] = sub(grad[dof], mul(val, fr))
+        # hessian = M + sum_act D J J^T
+        hess = dict(m_mat)
+        for r, a in zip(rows, act):
+            w = jnp.where(a, r["D"], 0.0)
+            items = sorted(r["J"].items())
+            for ii, (d1, v1) in enumerate(items):
+                wv1 = mul(w, v1)
+                for (d2, v2) in items[: ii + 1]:
+                    key = (max(d1, d2), min(d1, d2))
+                    hess[key] = add(hess.get(key, 0.0), mul(wv1, v2))
+        l_h = chol_factor(hess)
+        p = chol_solve(l_h, [neg(g) for g in grad])
+        jp = [_jdotv(r["J"], p) for r in rows]
+        mp = _mat_vec_sym(m_mat, p, nv)
+        d0 = 0.0
+        sg = 0.0
+        for i in range(nv):
+            d0 = fma(d0, p[i], sub(mx[i], qfrc_smooth[i]))
+            sg = fma(sg, p[i], mp[i])
+        alpha = _linesearch_scalar(rows, jar, jp, d0, sg)
+        x = [fma(x[i], alpha, p[i]) for i in range(nv)]
+        jar = [fma(jr, alpha, jpr) for jr, jpr in zip(jar, jp)]
+
+    # final forces
+    for r, jr in zip(rows, jar):
+        a = (r["exists"] & (jr < 0)) if r["unilateral"] else r["exists"]
+        r["force"] = jnp.where(a, -r["D"] * jr, 0.0)
+    return x, jar, rows
+
+
+def _mat_vec_sym(m_mat, v, nv):
+    out = [0.0] * nv
+    for (i, j), val in m_mat.items():
+        out[i] = fma(out[i], val, v[j])
+        if i != j:
+            out[j] = fma(out[j], val, v[i])
+    return out
+
+
+def _linesearch_scalar(rows, jar, jp, d0, sg, n_grow=12, n_bisect=26):
+    """Monotone piecewise-linear derivative root find: doubling bracket then
+    bisection (sort-free; kernel-friendly)."""
+
+    def dphi(alpha):
+        s = d0 + alpha * sg
+        for r, jr, jpr in zip(rows, jar, jp):
+            jar_a = jr + alpha * jpr
+            act = (r["exists"] & (jar_a < 0)) if r["unilateral"] else r["exists"]
+            s = s + jnp.where(act, r["D"] * jpr * jar_a, 0.0)
+        return s
+
+    hi = jnp.ones_like(d0)
+    for _ in range(n_grow):
+        hi = jnp.where(dphi(hi) < 0, hi * 4.0, hi)
+    lo = jnp.zeros_like(d0)
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo + hi)
+        neg_mid = dphi(mid) < 0
+        lo = jnp.where(neg_mid, mid, lo)
+        hi = jnp.where(neg_mid, hi, mid)
+    alpha = 0.5 * (lo + hi)
+    return jnp.where(dphi(jnp.zeros_like(d0)) >= 0, 0.0, alpha)

@@ -1,0 +1,58 @@
+"""Scalar-graph fast path vs the reference pipeline (same engine, two
+formulations): trajectories must agree to solver-linesearch precision."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oxide_control_tpu.physics import forward as fwd
+from oxide_control_tpu.state import make_data
+from oxide_control_tpu.suite.common import load_asset
+from oxide_control_tpu.ops import scalar_graph as sg
+
+
+def _rollout_pair(name, nsteps=10, seed=0):
+    m = load_asset(name)
+    assert sg.supports(m)
+    step_s = sg.build_step(m)
+    B = 8
+    rng = np.random.default_rng(seed)
+    qpos = np.tile(np.asarray(m.qpos0), (B, 1)) + rng.uniform(-0.1, 0.1, (B, m.nq))
+    qpos[:, 1] -= 0.3  # bring feet into contact range
+    qvel = rng.uniform(-1, 1, (B, m.nv))
+    ctrl = rng.uniform(-1, 1, (B, m.nu))
+    ws = np.zeros((B, m.nv))
+
+    d = make_data(m)
+    dB = jax.vmap(lambda q, v, w, c: d.replace(qpos=q, qvel=v, qacc_warmstart=w, ctrl=c))(
+        qpos, qvel, ws, ctrl
+    )
+    step_ref = jax.jit(jax.vmap(lambda x: fwd.step(m, x)))
+
+    q_l = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
+    v_l = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
+    w_l = [jnp.asarray(ws[:, i]) for i in range(m.nv)]
+    c_l = [jnp.asarray(ctrl[:, i]) for i in range(m.nu)]
+
+    maxerr = 0.0
+    for _ in range(nsteps):
+        dB = step_ref(dB)
+        q_l, v_l, w_l = step_s(q_l, v_l, w_l, c_l)
+        qp = np.stack([np.asarray(x) for x in q_l], axis=1)
+        maxerr = max(maxerr, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
+    return maxerr
+
+
+def test_cheetah_scalar_graph():
+    assert _rollout_pair("cheetah") < 1e-6
+
+
+def test_walker_scalar_graph():
+    assert _rollout_pair("walker") < 1e-6
+
+
+def test_supports_predicate():
+    assert sg.supports(load_asset("cheetah"))
+    assert sg.supports(load_asset("walker"))
+    assert sg.supports(load_asset("cartpole")) is False  # RK4 integrator
+    assert sg.supports(load_asset("humanoid")) is False  # free joint
