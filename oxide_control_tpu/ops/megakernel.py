@@ -8,15 +8,19 @@ rewards.  One kernel launch per K steps means zero per-op dispatch overhead
 and no HBM round-trips between pipeline stages — the design the BASELINE
 "speed-of-light per chip" target requires.
 
-In-kernel env layer (optional): cheetah-run style reward on the forward
-speed, time-limit + divergence termination, and masked auto-reset to qpos0
-with PRNG noise — the lockstep analog of BatchedEnvironment.step.
+In-kernel env layer (optional, via :class:`EnvHooks`): task reward computed
+on the post-step state, time-limit + divergence termination, and masked
+auto-reset to qpos0 + per-coordinate PRNG noise — the lockstep analog of
+BatchedEnvironment.step (api/environment.py), preserving the reference step
+ordering of lib.rs:68-87 (ctrl -> step -> reward -> terminate).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
+from typing import Callable, Sequence
 
 import numpy as np
 
@@ -33,21 +37,35 @@ def supports(model: Model) -> bool:
     return sg.supports(model)
 
 
+@dataclasses.dataclass(frozen=True)
+class EnvHooks:
+    """Task env-layer spec the kernel can inline.
+
+    reward(q, v, ctrl) -> (TILE,) array: reward from the *post-step* state
+    (lists of per-coordinate (TILE,) arrays).  Tasks whose reward needs body
+    frames (FK) are not yet kernel-eligible and use the general path.
+    """
+
+    reward: Callable
+    time_limit: float
+    reset_noise: float = 0.0
+    # (nq,) per-coordinate noise amplitude multiplier for auto-reset
+    # randomization (0 => coordinate resets exactly to qpos0)
+    reset_mask: Sequence[float] | None = None
+
+
 def build_rollout(
     model: Model,
     batch: int,
     steps_per_call: int,
     tile: int = 1024,
-    reward: str | None = "speed",
-    run_speed: float = 10.0,
-    time_limit: float = 10.0,
-    reset_noise: float = 0.1,
+    hooks: EnvHooks | None = None,
     interpret: bool = False,
 ):
     """Compile a K-step rollout kernel.
 
     Returns ``fn(qpos (nq,B), qvel (nv,B), ws (nv,B), time (1,B),
-    ctrl (K,nu,B), seed (1,1) int32) -> (qpos', qvel', ws', time',
+    ctrl (K,nu,B), seed (1,) int32) -> (qpos', qvel', ws', time',
     reward_sum (1,B))``.
 
     Layout note: state arrays are **coordinate-major** (nq, B) so each
@@ -60,7 +78,16 @@ def build_rollout(
     h = float(model.opt.timestep)
     k_steps = steps_per_call
     qpos0 = [float(x) for x in np.asarray(jax.device_get(model.qpos0))]
-    limit_steps = time_limit - 1e-6
+    if hooks is not None:
+        limit_steps = hooks.time_limit - 1e-6
+        reset_noise = float(hooks.reset_noise)
+        if hooks.reset_mask is None:
+            reset_mask = [1.0] * nq
+        else:
+            reset_mask = [float(x) for x in hooks.reset_mask]
+    else:
+        reset_noise = 0.0
+        reset_mask = [0.0] * nq
 
     def kernel(qpos_ref, qvel_ref, ws_ref, time_ref, ctrl_ref, seed_ref,
                oq_ref, ov_ref, ows_ref, ot_ref, orew_ref):
@@ -80,25 +107,25 @@ def build_rollout(
             q, v, w = step(list(q), list(v), list(w), list(c))
             t = t + h
 
-            if reward == "speed":
-                # tolerance(speed, (run_speed, inf), margin=run_speed,
-                # value_at_margin=0, sigmoid=linear)
-                speed = v[0]
-                r = jnp.clip(speed / run_speed, 0.0, 1.0)
-                rew = rew + r
+            if hooks is not None:
+                rew = rew + hooks.reward(list(q), list(v), list(c))
 
             # divergence + time-limit -> masked auto-reset
             bad = jnp.zeros_like(t, dtype=jnp.bool_)
             for val in list(q) + list(v):
                 if not sg._is_const(val):
                     bad = bad | ~jnp.isfinite(val) | (jnp.abs(val) > 1e10)
-            done = bad | (t > limit_steps)
+            if hooks is not None:
+                done = bad | (t > limit_steps)
+            else:
+                done = bad
 
             if reset_noise:
                 bits = pltpu.prng_random_bits((nq,) + t.shape)
                 signed = pltpu.bitcast(bits, jnp.int32).astype(t.dtype)
                 q_reset = [
-                    qpos0[i] + reset_noise * (signed[i] * (2.0 ** -31))
+                    qpos0[i]
+                    + reset_noise * reset_mask[i] * (signed[i] * (2.0 ** -31))
                     for i in range(nq)
                 ]
             else:

@@ -212,11 +212,14 @@ def supports(model: Model) -> bool:
 
 
 def _np(model_arr):
-    return np.asarray(jax.device_get(model_arr), dtype=np.float64)
+    # nested python-float lists, NOT numpy arrays: np.float64 scalars are
+    # strongly typed under jax_enable_x64 and would promote the traced f32
+    # batch arrays to f64 inside the kernel
+    return np.asarray(jax.device_get(model_arr), dtype=np.float64).tolist()
 
 
 class _ModelConsts:
-    """All model parameters as python floats / numpy arrays."""
+    """All model parameters as (nested lists of) python floats."""
 
     def __init__(self, model: Model):
         self.m = model

@@ -15,6 +15,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..api.environment import BatchedEnvironment
 from ..state import Data
@@ -63,3 +64,87 @@ def jit_rollout(benv: BatchedEnvironment, num_steps: int, donate: bool = True):
     """Compile a rollout step bundle with donated state for in-place reuse."""
     fn = partial(rollout, benv, num_steps=num_steps)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# megakernel fast path: whole K-step rollout as one Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def fast_rollout_supported(benv: BatchedEnvironment) -> bool:
+    """True if (model, task) qualify for the Pallas rollout megakernel:
+    the model is in the scalar-graph class (ops/scalar_graph.supports) and
+    the task exposes in-kernel env hooks (reward on qpos/qvel/ctrl only)."""
+    from ..ops import megakernel as mk
+
+    return mk.supports(benv.model) and hasattr(benv.task, "kernel_hooks")
+
+
+class FastRollout:
+    """K environment steps per device call, entirely inside one Pallas
+    kernel (physics + reward + termination + masked auto-reset), with a
+    uniform-random policy sampled on device.
+
+    Usage::
+
+        roll = FastRollout(benv, steps_per_call=100)
+        state = roll.init(jax.random.PRNGKey(0))
+        state, reward_sum = roll.run(state, jax.random.PRNGKey(1))
+
+    ``reward_sum`` is the per-env sum of rewards over the K steps
+    (auto-reset lanes keep accumulating, as a throughput consumer would).
+    """
+
+    def __init__(self, benv: BatchedEnvironment, steps_per_call: int,
+                 tile: int = 1024, interpret: bool = False):
+        from ..ops import megakernel as mk
+
+        if not fast_rollout_supported(benv):
+            raise ValueError(
+                "model/task not kernel-eligible (needs scalar-joint model, "
+                "Newton+Euler, plane contacts, and task.kernel_hooks); use "
+                "jit_rollout for the general path"
+            )
+        model = benv.model
+        self.benv = benv
+        self.steps_per_call = steps_per_call
+        self._nq, self._nv, self._nu = model.nq, model.nv, model.nu
+        b = benv.num_envs
+        tile = min(tile, b)
+        hooks = benv.task.kernel_hooks(model)
+        kernel = mk.build_rollout(
+            model, b, steps_per_call, tile=tile, hooks=hooks,
+            interpret=interpret,
+        )
+
+        def bundle(qpos, qvel, ws, time, rng):
+            k_ctrl, k_seed = jax.random.split(rng)
+            ctrl = jax.random.uniform(
+                k_ctrl, (steps_per_call, model.nu, b),
+                minval=-1.0, maxval=1.0, dtype=qpos.dtype,
+            )
+            seed = jax.random.randint(
+                k_seed, (1,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
+            )
+            return kernel(qpos, qvel, ws, time, ctrl, seed)
+
+        self._bundle = jax.jit(bundle, donate_argnums=(0, 1, 2, 3))
+
+    def init(self, rng: jax.Array):
+        """Batched reset -> coordinate-major kernel state."""
+        data, _ = jax.jit(self.benv.reset)(rng)
+        return self.pack(data)
+
+    def pack(self, data: Data):
+        """Data pytree (env-major) -> kernel state (coordinate-major)."""
+        return (
+            data.qpos.T,
+            data.qvel.T,
+            data.qacc_warmstart.T,
+            data.time[None, :],
+        )
+
+    def run(self, state, rng: jax.Array):
+        """One K-step kernel call. Returns (new_state, reward_sum (B,))."""
+        qpos, qvel, ws, time, rew = self._bundle(*state, rng)
+        return (qpos, qvel, ws, time), rew[0]

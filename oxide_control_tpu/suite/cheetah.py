@@ -47,6 +47,27 @@ class Run:
     def done(self, model: Model, data: Data, obs):
         return data.time > self.time_limit - 1e-6
 
+    def kernel_hooks(self, model: Model):
+        """In-kernel env layer for the Pallas rollout megakernel: same
+        reward/termination/reset semantics as the methods above, expressed
+        on scalar-graph values (ops/megakernel.py)."""
+        from ..ops.megakernel import EnvHooks
+
+        mask = np.ones(model.nq)
+        mask[:3] = 0.0  # init_episode keeps the root pose
+
+        def reward(q, v, ctrl):
+            # tolerance(speed, (RUN_SPEED, inf), margin=RUN_SPEED,
+            # value_at_margin=0, sigmoid=linear) == clip(speed/RUN_SPEED, 0, 1)
+            return jnp.clip(v[0] / _RUN_SPEED, 0.0, 1.0)
+
+        return EnvHooks(
+            reward=reward,
+            time_limit=self.time_limit,
+            reset_noise=0.1,
+            reset_mask=mask,
+        )
+
 
 def run(model: Model | None = None, dtype=None, **kw):
     model = model if model is not None else load_asset("cheetah", dtype=dtype or np.float64)

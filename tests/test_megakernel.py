@@ -1,0 +1,125 @@
+"""Pallas rollout megakernel vs the general BatchedEnvironment path.
+
+Runs the whole in-kernel env layer (step + reward + time-limit termination +
+masked auto-reset) in Pallas interpret mode on CPU and checks it reproduces
+the general vmapped pipeline trajectory, rewards, and reset behavior exactly
+(same engine, two formulations — like test_scalar_graph, one level up).
+
+Uses a tiny 2-DOF model so the interpret-mode graph stays small; cheetah
+physics parity for the scalar-graph step is already held to 1e-6 by
+test_scalar_graph.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from oxide_control_tpu.api.environment import BatchedEnvironment
+from oxide_control_tpu.mjcf.compile import load_model_from_xml
+from oxide_control_tpu.ops import megakernel as mk
+
+# slide+hinge hopper: ball on a plane under gravity with a motor — exercises
+# contacts, limits, actuation, Newton solver, Euler integration
+_XML = """
+<mujoco>
+  <option timestep="0.01" solver="Newton" iterations="4" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 .1"/>
+    <body name="ball" pos="0 0 0.5">
+      <joint name="z" type="slide" axis="0 0 1"/>
+      <joint name="tilt" type="hinge" axis="0 1 0" range="-1 1" limited="true"/>
+      <geom name="b" type="sphere" size="0.15" mass="1"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor joint="z" gear="10"/>
+  </actuator>
+</mujoco>
+"""
+
+
+class _HopTask:
+    """Reward = clipped height; deterministic init (qpos0)."""
+
+    discount = 1.0
+    time_limit = 0.15  # 15 steps: forces auto-resets inside the rollout
+
+    def init_episode(self, model, data, rng):
+        return data
+
+    def observe(self, model, data):
+        return jnp.concatenate([data.qpos, data.qvel])
+
+    def reward(self, model, data, obs, action):
+        return jnp.clip(data.qpos[0], 0.0, 1.0)
+
+    def done(self, model, data, obs):
+        return data.time > self.time_limit - 1e-6
+
+    def kernel_hooks(self, model):
+        return mk.EnvHooks(
+            reward=lambda q, v, c: jnp.clip(q[0], 0.0, 1.0),
+            time_limit=self.time_limit,
+            reset_noise=0.0,
+        )
+
+
+def test_megakernel_matches_general_path():
+    model = load_model_from_xml(_XML, dtype=np.float32)
+    task = _HopTask()
+    B, K = 8, 24
+
+    benv = BatchedEnvironment(model, task, B)
+    data, _ = jax.jit(benv.reset)(jax.random.PRNGKey(0))
+
+    nu = model.nu
+    ctrl = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (K, B, nu),
+                           minval=-1.0, maxval=1.0, dtype=jnp.float32)
+    )
+
+    # ----- general path -----
+    d = data
+    rew_sum = np.zeros(B, np.float32)
+    dones = 0
+    step_j = jax.jit(benv.step)
+    for k in range(K):
+        d, ts = step_j(d, jnp.asarray(ctrl[k]), jax.random.PRNGKey(2))
+        rew_sum += np.asarray(ts.reward, np.float32)
+        dones += int(np.sum(np.asarray(ts.done)))
+    assert dones > 0, "time limit should trigger resets inside the rollout"
+
+    # ----- megakernel (interpret mode) -----
+    kernel = mk.build_rollout(model, B, K, tile=B,
+                              hooks=task.kernel_hooks(model), interpret=True)
+    state = (
+        jnp.asarray(data.qpos.T, jnp.float32),
+        jnp.asarray(data.qvel.T, jnp.float32),
+        jnp.asarray(data.qacc_warmstart.T, jnp.float32),
+        jnp.asarray(data.time[None, :], jnp.float32),
+    )
+    ctrl_cm = jnp.asarray(ctrl.transpose(0, 2, 1))  # (K, nu, B)
+    seed = jnp.zeros((1,), jnp.int32)
+    qpos, qvel, ws, t, rew = kernel(*state, ctrl_cm, seed)
+
+    np.testing.assert_allclose(np.asarray(rew)[0], rew_sum, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(qpos).T, np.asarray(d.qpos),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(qvel).T, np.asarray(d.qvel),
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t)[0], np.asarray(d.time),
+                               rtol=0, atol=1e-5)
+
+
+def test_fast_rollout_supported_predicate():
+    from oxide_control_tpu.parallel import rollout as rmod
+    from oxide_control_tpu import suite
+
+    assert rmod.fast_rollout_supported(
+        suite.load_batched("cheetah", "run", 8, dtype=np.float32)
+    )
+    # humanoid: free joint -> scalar-graph class excluded
+    assert not rmod.fast_rollout_supported(
+        suite.load_batched("humanoid", "stand", 8, dtype=np.float32)
+    )
