@@ -41,6 +41,60 @@ def rollout_ours(xml, qpos, qvel, ctrls):
     return np.asarray(qp), np.asarray(qv)
 
 
+def compare_windowed(xml, nsteps, window, seed, tol, ctrl_scale=1.0,
+                     vel_tol=None):
+    """Windowed golden comparison for chaotic contact-rich systems.
+
+    A single long rollout amplifies any sub-ULP solver difference through the
+    system's Lyapunov exponent (humanoid contact dynamics are chaotic), so a
+    full-horizon max-abs bound measures chaos, not correctness.  Instead we
+    walk along the CPU-MuJoCo reference trajectory and, every `window` steps,
+    re-sync our state (qpos/qvel/warmstart) to MuJoCo's and compare the next
+    `window` steps.  This checks correctness at every phase of the trajectory
+    (airborne, contact-rich, sliding) with no chaotic amplification.
+    """
+    ref = mujoco.MjModel.from_xml_string(xml)
+    rd = mujoco.MjData(ref)
+    rng = np.random.default_rng(seed)
+    nu = ref.nu
+    holds = rng.uniform(-ctrl_scale, ctrl_scale, (nsteps // 20 + 1, nu))
+    ctrls = np.repeat(holds, 20, axis=0)[:nsteps]
+
+    m = load_model_from_xml(xml)
+    d0 = make_data(m)
+
+    def run_window(qpos, qvel, warm, cs):
+        d = d0.replace(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel),
+                       qacc_warmstart=jnp.asarray(warm))
+
+        def body(d, ctrl):
+            d = d.replace(ctrl=ctrl)
+            d = fwd.step(m, d)
+            return d, (d.qpos, d.qvel)
+
+        _, (qp, qv) = jax.lax.scan(body, d, jnp.asarray(cs))
+        return qp, qv
+
+    run_window = jax.jit(run_window)
+    worst_q = worst_v = 0.0
+    for start in range(0, nsteps, window):
+        cs = ctrls[start:start + window]
+        sync = (rd.qpos.copy(), rd.qvel.copy(), rd.qacc_warmstart.copy())
+        qp_ref, qv_ref = [], []
+        for c in cs:
+            rd.ctrl[:] = c
+            mujoco.mj_step(ref, rd)
+            qp_ref.append(rd.qpos.copy())
+            qv_ref.append(rd.qvel.copy())
+        qp, qv = run_window(*sync, cs)
+        worst_q = max(worst_q, np.max(np.abs(qp - np.array(qp_ref))))
+        worst_v = max(worst_v, np.max(np.abs(qv - np.array(qv_ref))))
+    assert worst_q < tol, f"windowed qpos err {worst_q:.3e} >= {tol}"
+    vel_tol = tol * 10 if vel_tol is None else vel_tol
+    assert worst_v < vel_tol, f"windowed qvel err {worst_v:.3e} >= {vel_tol}"
+    return worst_q, worst_v
+
+
 def compare(xml, nsteps, seed, tol, ctrl_scale=1.0, init=None, vel_tol=None):
     ref = mujoco.MjModel.from_xml_string(xml)
     rng = np.random.default_rng(seed)

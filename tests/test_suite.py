@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from test_golden import compare
+from test_golden import compare, compare_windowed
 
 from oxide_control_tpu import suite
 from oxide_control_tpu.api import (
@@ -50,7 +50,16 @@ def test_walker_asset_golden():
 
 
 def test_humanoid_asset_golden():
-    compare(_xml("humanoid"), 300, 14, 1e-3, vel_tol=1e-1)
+    # Humanoid contact dynamics are chaotic: a sub-ULP solver difference at a
+    # contact event (step ~18) amplifies to O(1) over 300 lockstep steps, so
+    # the full-horizon compare measures Lyapunov growth, not correctness.
+    # Windowed re-sync comparison instead: 25-step windows along the MuJoCo
+    # reference trajectory, each started from MuJoCo's exact state.
+    # Worst observed window: 3.7e-4 qpos (contact-event impulse split inside
+    # the window); first-step-of-window error is ~1e-7 throughout.
+    # qvel spikes to ~6e-2 when a contact impulse lands on different sides of
+    # one step boundary (same noise floor as the walker test above).
+    compare_windowed(_xml("humanoid"), 300, 25, 14, 1e-3, vel_tol=1e-1)
 
 
 # ---------------------------------------------------------------------------
