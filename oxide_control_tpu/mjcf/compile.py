@@ -483,7 +483,8 @@ class _Compiler:
         for elem in act_root:
             attrs = self._resolved(elem, "main")
             kind = elem.tag
-            if kind not in ("motor", "position", "velocity", "general"):
+            if kind not in ("motor", "position", "velocity", "general",
+                            "intvelocity", "damper"):
                 raise UnsupportedFeatureError(f"unsupported actuator <{kind}>")
             if "joint" in attrs:
                 trntype, target = TrnType.JOINT, attrs["joint"]
@@ -511,6 +512,22 @@ class _Compiler:
                 gainprm[0] = kv
                 biastype = BiasType.AFFINE
                 biasprm[2] = -kv
+            elif kind == "intvelocity":
+                # velocity servo through an integrator on the setpoint
+                # (mjcf shortcut: dyntype=integrator, position-servo on act)
+                kp = _attr_float(attrs, "kp", 1.0)
+                kv = _attr_float(attrs, "kv", 0.0)
+                gainprm[0] = kp
+                biastype = BiasType.AFFINE
+                biasprm[1] = -kp
+                biasprm[2] = -kv
+                dyntype = DynType.INTEGRATOR
+            elif kind == "damper":
+                # active damper: force = -kv * ctrl * velocity
+                kv = _attr_float(attrs, "kv", 1.0)
+                gaintype = GainType.AFFINE
+                gainprm[0] = 0.0
+                gainprm[2] = -kv
             else:  # general
                 gp = _attr_floats(attrs, "gainprm", [1, 0, 0], 3)
                 gainprm[: gp.size] = gp
@@ -518,8 +535,14 @@ class _Compiler:
                 biasprm[: bp.size] = bp
                 gaintype = GainType[attrs.get("gaintype", "fixed").upper()]
                 biastype = BiasType[attrs.get("biastype", "none").upper()]
-                if attrs.get("dyntype", "none") != "none":
-                    raise UnsupportedFeatureError("actuator dynamics not yet supported")
+                dt_name = attrs.get("dyntype", "none").upper()
+                if dt_name not in DynType.__members__:
+                    raise UnsupportedFeatureError(
+                        f"unsupported actuator dyntype {dt_name.lower()!r}"
+                    )
+                dyntype = DynType[dt_name]
+                dp = _attr_floats(attrs, "dynprm", [1, 0, 0], 3)
+                dynprm[: dp.size] = dp
 
             ctrlrange = _attr_floats(attrs, "ctrlrange", [0, 0], 2)
             has_cr = "ctrlrange" in attrs and (ctrlrange[0] != 0 or ctrlrange[1] != 0)
@@ -533,6 +556,12 @@ class _Compiler:
                 forcelimited = attrs["forcelimited"] in ("true", "1")
             else:
                 forcelimited = bool(has_fr) if self.autolimits else False
+            actrange = _attr_floats(attrs, "actrange", [0, 0], 2)
+            has_ar = "actrange" in attrs and (actrange[0] != 0 or actrange[1] != 0)
+            if "actlimited" in attrs:
+                actlimited = attrs["actlimited"] in ("true", "1")
+            else:
+                actlimited = bool(has_ar) if self.autolimits else False
 
             aid = len(self.actuators)
             self.actuators.append(
@@ -545,6 +574,8 @@ class _Compiler:
                     ctrllimited=ctrllimited,
                     forcerange=forcerange,
                     forcelimited=forcelimited,
+                    actrange=actrange,
+                    actlimited=actlimited,
                     gaintype=gaintype,
                     biastype=biastype,
                     dyntype=dyntype,
@@ -1026,10 +1057,23 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
     pair_gap = np.array([p["gap"] for p in pair_entries]).reshape(npair)
     pair_condim = tuple(int(p["condim"]) for p in pair_entries)
 
+    # activation-state layout: one act dim per stateful actuator, in actuator
+    # order (MuJoCo mjModel.actuator_actadr semantics)
+    actadr, actnum = [], []
+    na = 0
+    for a in c.actuators:
+        if a["dyntype"] == DynType.NONE:
+            actadr.append(-1)
+            actnum.append(0)
+        else:
+            actadr.append(na)
+            actnum.append(1)
+            na += 1
+
     f = lambda x: np.asarray(x, dtype=np.float64)
 
     model = Model(
-        nq=nq, nv=nv, nu=nu, na=0, nbody=nbody, njnt=njnt, ngeom=ngeom,
+        nq=nq, nv=nv, nu=nu, na=na, nbody=nbody, njnt=njnt, ngeom=ngeom,
         nsite=nsite, neq=neq, nmocap=nmocap,
         opt=opt,
         body_parentid=tuple(body_parentid),
@@ -1065,8 +1109,9 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         actuator_dyntype=tuple(int(a["dyntype"]) for a in c.actuators),
         actuator_ctrllimited=tuple(bool(a["ctrllimited"]) for a in c.actuators),
         actuator_forcelimited=tuple(bool(a["forcelimited"]) for a in c.actuators),
-        actuator_actadr=tuple(-1 for _ in c.actuators),
-        actuator_actnum=tuple(0 for _ in c.actuators),
+        actuator_actadr=tuple(actadr),
+        actuator_actnum=tuple(actnum),
+        actuator_actlimited=tuple(bool(a["actlimited"]) for a in c.actuators),
         eq_type=tuple(int(e["type"]) for e in c.equalities),
         eq_obj1id=tuple(eq_obj1id),
         eq_obj2id=tuple(eq_obj2id),
@@ -1113,7 +1158,7 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         actuator_gear=f(np.array([a["gear"] for a in c.actuators]).reshape(nu, 6)),
         actuator_ctrlrange=f(np.array([a["ctrlrange"] for a in c.actuators]).reshape(nu, 2)),
         actuator_forcerange=f(np.array([a["forcerange"] for a in c.actuators]).reshape(nu, 2)),
-        actuator_actrange=f(np.zeros((nu, 2))),
+        actuator_actrange=f(np.array([a["actrange"] for a in c.actuators]).reshape(nu, 2)),
         actuator_gainprm=f(np.array([a["gainprm"] for a in c.actuators]).reshape(nu, 10)),
         actuator_biasprm=f(np.array([a["biasprm"] for a in c.actuators]).reshape(nu, 10)),
         actuator_dynprm=f(np.array([a["dynprm"] for a in c.actuators]).reshape(nu, 10)),

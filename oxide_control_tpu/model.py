@@ -177,6 +177,7 @@ class Model:
     actuator_forcelimited: tuple = static_field()
     actuator_actadr: tuple = static_field()  # -1 if stateless
     actuator_actnum: tuple = static_field()
+    actuator_actlimited: tuple = static_field()
 
     eq_type: tuple = static_field()
     eq_obj1id: tuple = static_field()

@@ -9,9 +9,31 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..model import Integrator, JointType, Model
+import numpy as np
+
+from ..model import DynType, Integrator, JointType, Model
 from ..state import Data
 from . import maths
+
+
+def advance_act(model: Model, act: jax.Array, act_dot: jax.Array, h) -> jax.Array:
+    """Integrate activation states (mj_advance): plain Euler for INTEGRATOR /
+    FILTER, exact exponential update for FILTEREXACT, then clamp to actrange
+    for act-limited actuators."""
+    if model.na == 0:
+        return act
+    actadr = np.array(model.actuator_actadr)
+    stateful = np.flatnonzero(actadr >= 0)
+    # per-act-dim static tables (one act dim per stateful actuator)
+    dyn = np.array(model.actuator_dyntype)[stateful]
+    limited = np.array(model.actuator_actlimited, dtype=bool)[stateful]
+    tau = jnp.maximum(model.actuator_dynprm[stateful, 0], 1e-15)
+    exact = jnp.asarray(dyn == DynType.FILTEREXACT)
+    dt = jnp.where(exact, tau * -jnp.expm1(-h / tau), h)
+    act = act + act_dot * dt
+    lo = model.actuator_actrange[stateful, 0]
+    hi = model.actuator_actrange[stateful, 1]
+    return jnp.where(jnp.asarray(limited), jnp.clip(act, lo, hi), act)
 
 
 def integrate_pos(model: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
@@ -58,7 +80,8 @@ def euler(model: Model, d: Data) -> Data:
     else:
         qvel = d.qvel + h * d.qacc
     qpos = integrate_pos(model, d.qpos, qvel, h)
-    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+    act = advance_act(model, d.act, d.act_dot, h)
+    return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
 
 
 _RK4_A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
@@ -69,22 +92,29 @@ def rk4(model: Model, d: Data, forward_fn) -> Data:
     """mj_RungeKutta(N=4). ctrl and applied forces held constant over the
     substeps; qpos integrated on the manifold at each stage."""
     h = model.opt.timestep
-    qpos0, qvel0 = d.qpos, d.qvel
+    qpos0, qvel0, act0 = d.qpos, d.qvel, d.act
 
     vels = [d.qvel]
     accs = [d.qacc]
+    adots = [d.act_dot]
     for i in range(3):
         dq = sum(_RK4_A[i][j] * vels[j] for j in range(i + 1))
         dv = sum(_RK4_A[i][j] * accs[j] for j in range(i + 1))
+        da = sum(_RK4_A[i][j] * adots[j] for j in range(i + 1))
         qpos_i = integrate_pos(model, qpos0, dq, h)
         qvel_i = qvel0 + h * dv
-        di = d.replace(qpos=qpos_i, qvel=qvel_i)
+        di = d.replace(qpos=qpos_i, qvel=qvel_i, act=act0 + h * da)
         di = forward_fn(model, di)
         vels.append(di.qvel)
         accs.append(di.qacc)
+        adots.append(di.act_dot)
 
     dq = sum(b * v for b, v in zip(_RK4_B, vels))
     dv = sum(b * a for b, a in zip(_RK4_B, accs))
+    da = sum(b * a for b, a in zip(_RK4_B, adots))
     qpos = integrate_pos(model, qpos0, dq, h)
     qvel = qvel0 + h * dv
-    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+    # final act advance goes through mj_advance semantics (exact filter update
+    # with the RK-weighted derivative, then actrange clamp)
+    act = advance_act(model, act0, da, h)
+    return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)

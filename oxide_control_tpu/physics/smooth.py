@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..model import JointType, Model, TrnType, GainType, BiasType
+from ..model import JointType, Model, TrnType, GainType, BiasType, DynType
 from ..state import Data
 from . import maths
 
@@ -438,6 +438,29 @@ def actuation(model: Model, d: Data) -> Data:
     hi = model.actuator_ctrlrange[:, 1]
     ctrl = jnp.where(limited, jnp.clip(ctrl, lo, hi), ctrl)
 
+    # activation dynamics (mj_fwdActuation): stateful actuators drive force
+    # from their activation state; act_dot integrates in mj_advance
+    actadr = np.array(model.actuator_actadr)
+    stateful = actadr >= 0
+    if model.na:
+        act_u = d.act[np.maximum(actadr, 0)]  # per-actuator act (garbage when stateless)
+        dyntype = np.array(model.actuator_dyntype)
+        tau = jnp.maximum(model.actuator_dynprm[:, 0], 1e-15)
+        act_dot_u = jnp.where(
+            jnp.asarray(dyntype == DynType.INTEGRATOR),
+            ctrl,
+            (ctrl - act_u) / tau,  # FILTER / FILTEREXACT
+        )
+        act_dot = (
+            jnp.zeros(model.na, dtype=dtype)
+            .at[actadr[stateful]]
+            .set(act_dot_u[np.flatnonzero(stateful)])
+        )
+        force_input = jnp.where(jnp.asarray(stateful), act_u, ctrl)
+    else:
+        act_dot = jnp.zeros(0, dtype=dtype)
+        force_input = ctrl
+
     # gain
     gaintype = np.array(model.actuator_gaintype)
     gain = jnp.where(
@@ -456,7 +479,7 @@ def actuation(model: Model, d: Data) -> Data:
         + model.actuator_biasprm[:, 1] * lengths
         + model.actuator_biasprm[:, 2] * velocity,
     )
-    force = gain * ctrl + bias
+    force = gain * force_input + bias
     flimited = jnp.asarray(model.actuator_forcelimited)
     force = jnp.where(
         flimited,
@@ -468,6 +491,7 @@ def actuation(model: Model, d: Data) -> Data:
         actuator_length=lengths,
         actuator_velocity=velocity,
         actuator_force=force,
+        act_dot=act_dot,
         qfrc_actuator=qfrc_actuator,
     )
 

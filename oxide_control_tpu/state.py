@@ -87,6 +87,7 @@ class Data:
     actuator_length: jax.Array   # (nu,)
     actuator_velocity: jax.Array # (nu,)
     actuator_force: jax.Array    # (nu,)
+    act_dot: jax.Array           # (na,) activation-state derivative
     qfrc_actuator: jax.Array     # (nv,)
 
     # ----- acceleration -----
@@ -186,6 +187,7 @@ def make_data(model: Model) -> Data:
         actuator_length=z(model.nu),
         actuator_velocity=z(model.nu),
         actuator_force=z(model.nu),
+        act_dot=z(model.na),
         qfrc_actuator=z(nv),
         qfrc_smooth=z(nv),
         qacc_smooth=z(nv),
