@@ -53,6 +53,13 @@ class ActuatorStatelessError(OxideControlError):
     Error::ActuatorStateless, /root/reference/src/error.rs:9)."""
 
 
+class PluginStatelessError(OxideControlError):
+    """`plugin_state` accessor used on a stateless (or absent) plugin
+    (analog of Error::PluginStateless, /root/reference/src/error.rs:10).
+    This engine compiles no MuJoCo engine plugins — MJCF ``<extension>``
+    is rejected — so every plugin-state access raises this."""
+
+
 class BodyNotMocapError(OxideControlError):
     """Mocap accessor used on a non-mocap body (analog of
     Error::BodyNotMocap, /root/reference/src/error.rs:11)."""

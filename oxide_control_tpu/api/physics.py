@@ -33,6 +33,7 @@ from .errors import (
     BodyNotMocapError,
     JointTypeError,
     NameNotFoundError,
+    PluginStatelessError,
 )
 
 # divergence bounds, mirroring the mjMAXVAL/mjMINVAL re-export at
@@ -226,6 +227,23 @@ class Physics:
                 f"qvel width {width}", f"shape {val.shape}", str(joint)
             )
         self._data = self._data.replace(qvel=self._data.qvel.at[vsl].set(val))
+
+    # plugin_state (physics.rs:125-131): this engine has no plugin system
+    # (the MJCF compiler rejects <extension>), so the accessors exist for
+    # API parity but always raise — the strict analog of the reference's
+    # Option::None / Error::PluginStateless (error.rs:10).
+
+    def plugin_state(self, plugin):
+        raise PluginStatelessError(
+            f"plugin {plugin!r}: engine plugins are not supported "
+            "(no plugin is ever compiled, so none has state)"
+        )
+
+    def set_plugin_state(self, plugin, value) -> None:
+        raise PluginStatelessError(
+            f"plugin {plugin!r}: engine plugins are not supported "
+            "(no plugin is ever compiled, so none has state)"
+        )
 
     # qacc_warmstart per dof (physics.rs:118-123)
 

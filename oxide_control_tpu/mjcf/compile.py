@@ -522,12 +522,26 @@ class _Compiler:
                 biasprm[1] = -kp
                 biasprm[2] = -kv
                 dyntype = DynType.INTEGRATOR
+                # MuJoCo requires actrange for intvelocity (the integrated
+                # setpoint must be bounded) and act-limits it by default
+                if "actrange" not in attrs:
+                    raise ModelError(
+                        "intvelocity actuator requires actrange"
+                    )
             elif kind == "damper":
-                # active damper: force = -kv * ctrl * velocity
+                # active damper: force = -kv * ctrl * velocity.  MuJoCo
+                # requires ctrlrange with a non-negative lower bound (a
+                # negative ctrl would flip the sign and inject energy).
                 kv = _attr_float(attrs, "kv", 1.0)
                 gaintype = GainType.AFFINE
                 gainprm[0] = 0.0
                 gainprm[2] = -kv
+                _dcr = _attr_floats(attrs, "ctrlrange", [0, 0], 2)
+                if "ctrlrange" not in attrs or _dcr[0] < 0:
+                    raise ModelError(
+                        "damper actuator requires ctrlrange with "
+                        "ctrlrange[0] >= 0"
+                    )
             else:  # general
                 gp = _attr_floats(attrs, "gainprm", [1, 0, 0], 3)
                 gainprm[: gp.size] = gp
@@ -548,6 +562,8 @@ class _Compiler:
             has_cr = "ctrlrange" in attrs and (ctrlrange[0] != 0 or ctrlrange[1] != 0)
             if "ctrllimited" in attrs:
                 ctrllimited = attrs["ctrllimited"] in ("true", "1")
+            elif kind == "damper":
+                ctrllimited = True  # MuJoCo forces ctrl limits on dampers
             else:
                 ctrllimited = bool(has_cr) if self.autolimits else False
             forcerange = _attr_floats(attrs, "forcerange", [0, 0], 2)
@@ -560,6 +576,8 @@ class _Compiler:
             has_ar = "actrange" in attrs and (actrange[0] != 0 or actrange[1] != 0)
             if "actlimited" in attrs:
                 actlimited = attrs["actlimited"] in ("true", "1")
+            elif kind == "intvelocity":
+                actlimited = True  # MuJoCo act-limits the integrated setpoint
             else:
                 actlimited = bool(has_ar) if self.autolimits else False
 
@@ -670,6 +688,9 @@ class _Compiler:
             disable_gravity=fattrs.get("gravity", "enable") == "disable",
             disable_limit=fattrs.get("limit", "enable") == "disable",
             disable_eulerdamp=fattrs.get("eulerdamp", "enable") == "disable",
+            disable_frictionloss=(
+                fattrs.get("frictionloss", "enable") == "disable"
+            ),
         )
 
 

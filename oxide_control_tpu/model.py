@@ -116,6 +116,7 @@ class Option:
     disable_gravity: bool = False
     disable_limit: bool = False
     disable_eulerdamp: bool = False
+    disable_frictionloss: bool = False
 
 
 @pytree_dataclass

@@ -176,6 +176,49 @@ def axis_angle_quat(axis_const, angle):
             mul(float(axis_const[2]), s))
 
 
+def qnormalize(q):
+    """Unit-normalize a quat (mju_normalize4 analog, zero-guarded)."""
+    n2 = add(add(mul(q[0], q[0]), mul(q[1], q[1])),
+             add(mul(q[2], q[2]), mul(q[3], q[3])))
+    if _is_const(n2):
+        if n2 <= 0.0:
+            return (1.0, 0.0, 0.0, 0.0)
+        inv = 1.0 / math.sqrt(n2)
+        return tuple(mul(x, inv) for x in q)
+    inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+    return tuple(mul(x, inv) for x in q)
+
+
+def quat_integrate_scalar(q, w, dt):
+    """mju_quatIntegrate in scalar form: q * exp(0.5 * w_local * dt).
+
+    Mirrors physics/maths.quat_integrate exactly (incl. the zero-velocity
+    guard) so kernel trajectories match the general pipeline bit-for-bit
+    within f32/f64 rounding."""
+    n2 = dot3(w, w)
+    angle = jnp.sqrt(n2)
+    safe = jnp.where(angle > 0, angle, 1.0)
+    axis = tuple(wi / safe for wi in w)
+    half = 0.5 * (angle * dt)
+    c = jnp.cos(half)
+    s = jnp.sin(half)
+    nz = angle > 0
+    dq = (
+        jnp.where(nz, c, 1.0),
+        jnp.where(nz, axis[0] * s, 0.0),
+        jnp.where(nz, axis[1] * s, 0.0),
+        jnp.where(nz, axis[2] * s, 0.0),
+    )
+    return qnormalize(qmul(q, dq))
+
+
+def motion_cross(v, c):
+    """Spatial motion cross product on ((ang3), (lin3)) pairs."""
+    va, vl = v
+    ca, cl = c
+    return (cross3(va, ca), vadd3(cross3(va, cl), cross3(vl, ca)))
+
+
 # ---------------------------------------------------------------------------
 # support predicate
 # ---------------------------------------------------------------------------
@@ -185,15 +228,39 @@ def supports(model: Model) -> bool:
     """True if the scalar-graph fast path can run this model."""
     if model.neq or model.nmocap:
         return False
-    if any(t not in (JointType.HINGE, JointType.SLIDE) for t in model.jnt_type):
+    if model.na:
+        # stateful actuators (filter/integrator/...) need act integration,
+        # which the kernel does not implement: force = gain*ctrl + bias only
         return False
+    stiffness = np.asarray(jax.device_get(model.jnt_stiffness))
+    for j in range(model.njnt):
+        jt = model.jnt_type[j]
+        if jt in (JointType.HINGE, JointType.SLIDE):
+            continue
+        # free/ball joints: quaternion FK + manifold integration are built,
+        # but their limit rows and rotational springs are not
+        if model.jnt_limited[j]:
+            return False
+        if stiffness[j] > 0:
+            return False
+        # MuJoCo requires a free joint to be its body's only joint
+        if jt == JointType.FREE and model.body_jntnum[model.jnt_bodyid[j]] != 1:
+            return False
     if model.opt.integrator != Integrator.EULER:
         return False
     if model.opt.solver != SolverType.NEWTON:
         return False
     if any(t != TrnType.JOINT for t in model.actuator_trntype):
         return False
-    if np.any(np.asarray(model.dof_frictionloss) > 0):
+    for u in range(model.nu):
+        # transmission moments on quaternion joints not built
+        if model.jnt_type[model.actuator_trnid[u]] not in (
+            JointType.HINGE, JointType.SLIDE,
+        ):
+            return False
+    if not model.opt.disable_frictionloss and np.any(
+        np.asarray(model.dof_frictionloss) > 0
+    ):
         return False
     for (t1, t2, pairs) in model.pair_groups:
         if GeomType(t1) != GeomType.PLANE:

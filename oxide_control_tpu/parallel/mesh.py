@@ -47,9 +47,15 @@ def shard_env_state(mesh: Mesh, tree):
 
 
 def multihost_initialize(**kwargs) -> None:
-    """Multi-host SPMD runtime bring-up (jax.distributed.initialize wrapper;
-    no-op if already initialized or single-process)."""
+    """Multi-host SPMD runtime bring-up (jax.distributed.initialize wrapper).
+
+    The only swallowed failure is double-initialization (idempotent calls are
+    convenient in tests/notebooks); a genuinely misconfigured bring-up
+    (bad coordinator address, wrong process count, ...) propagates — a
+    silent no-op here would masquerade as single-host mode."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise

@@ -35,6 +35,8 @@ _BIG = 1e12
 
 
 def _limit_joints(model: Model) -> list[int]:
+    if model.opt.disable_limit:
+        return []
     out = []
     for j in range(model.njnt):
         if not model.jnt_limited[j]:
@@ -43,6 +45,14 @@ def _limit_joints(model: Model) -> list[int]:
             raise NotImplementedError("ball/free joint limits not supported yet")
         out.append(j)
     return out
+
+
+def _friction_dofs(model: Model) -> list[int]:
+    """Dofs with positive friction loss (one efc row each)."""
+    if getattr(model.opt, "disable_frictionloss", False):
+        return []
+    fl = np.asarray(jax.device_get(model.dof_frictionloss))
+    return [int(i) for i in np.flatnonzero(fl > 0)]
 
 
 def _lane_bodies(model: Model) -> list[tuple[int, int]]:
@@ -60,6 +70,7 @@ def nefc(model: Model) -> int:
     n = 0
     for t in model.eq_type:
         n += {EqType.CONNECT: 3, EqType.WELD: 6, EqType.JOINT: 1}[EqType(t)]
+    n += len(_friction_dofs(model))
     n += len(_limit_joints(model))
     for condim in contact_condims(model):
         n += {1: 1, 3: 4, 4: 6, 6: 10}[condim]
@@ -122,18 +133,26 @@ class _Rows:
     """Accumulator for efc row *blocks* (trace-time python; fixed count).
 
     Rows are appended in blocks of shape (n, ...) so vectorized categories
-    (limits, contacts) stay a single fused computation each."""
+    (limits, contacts) stay a single fused computation each.
+
+    Every row's constraint force is ``clip(-D * jar, lo, hi)`` with the
+    matching piecewise cost (quadratic in-band, linear continuation
+    outside): equality rows have (lo, hi) = (-inf, inf), unilateral rows
+    (0, inf), dof-friction rows (-frictionloss, +frictionloss) — MuJoCo's
+    three constraint classes in one formula."""
 
     def __init__(self, dtype, nv):
         self.dtype = dtype
         self.nv = nv
         self.J, self.pos, self.aref, self.D = [], [], [], []
-        self.exists, self.unilateral = [], []
+        self.exists, self.unilateral, self.floss = [], [], []
+        self.is_friction = []
 
     def add_block(self, model, J, pos, solref, solimp, diag_approx, exists,
-                  unilateral, vel):
+                  unilateral, vel, floss=None):
         """J: (n, nv); pos/diag_approx/exists/vel: (n,); solref: (n, 2);
-        solimp: (n, 5); unilateral: static bool for the whole block."""
+        solimp: (n, 5); unilateral: static bool for the whole block;
+        floss: (n,) friction-loss bound or None (non-friction rows)."""
         k, b, imp = _kbi(model, solref, solimp, pos)
         aref = -b * vel - k * imp * pos
         dd = imp / (1.0 - imp) / jnp.maximum(diag_approx, 1e-12)
@@ -144,6 +163,13 @@ class _Rows:
         self.D.append(jnp.asarray(dd, dtype=self.dtype))
         self.exists.append(jnp.broadcast_to(jnp.asarray(exists), (n,)))
         self.unilateral.extend([bool(unilateral)] * n)
+        self.is_friction.extend([floss is not None] * n)
+        if floss is None:
+            self.floss.append(jnp.zeros((n,), dtype=self.dtype))
+        else:
+            self.floss.append(
+                jnp.broadcast_to(jnp.asarray(floss, dtype=self.dtype), (n,))
+            )
 
     def add(self, model, J, pos, solref, solimp, diag_approx, exists,
             unilateral, vel):
@@ -202,6 +228,21 @@ def make_efc(model: Model, d: Data):
                          active, False, vel=jnp.dot(jdiff[i], d.qvel))
         else:
             raise NotImplementedError("weld equality not yet implemented")
+
+    # ----- dof friction loss (mjCNSTR_FRICTION_DOF; row order matches
+    # MuJoCo: equality -> friction -> limits -> contacts) -----
+    fr_dofs = _friction_dofs(model)
+    if fr_dofs:
+        idx = np.array(fr_dofs)
+        onehot = np.zeros((len(fr_dofs), nv))
+        onehot[np.arange(len(fr_dofs)), idx] = 1.0
+        J = jnp.asarray(onehot, dtype=dtype)
+        zero = jnp.zeros((len(fr_dofs),), dtype=dtype)
+        rows.add_block(
+            model, J, zero, model.dof_solref[idx], model.dof_solimp[idx],
+            iw_dof[idx], jnp.ones((len(fr_dofs),), dtype=bool), False,
+            vel=d.qvel[idx], floss=model.dof_frictionloss[idx],
+        )
 
     # ----- joint limits (vectorized over limited joints) -----
     lim = _limit_joints(model)
@@ -306,7 +347,9 @@ def make_efc(model: Model, d: Data):
         aref=jnp.concatenate(rows.aref),
         D=jnp.concatenate(rows.D),
         exists=jnp.concatenate(rows.exists),
-        unilateral=np.array(rows.unilateral),  # static (nefc,)
+        unilateral=np.array(rows.unilateral),      # static (nefc,)
+        floss=jnp.concatenate(rows.floss),         # (nefc,) 0 if non-friction
+        is_friction=np.array(rows.is_friction),    # static (nefc,)
     )
 
 
@@ -315,44 +358,70 @@ def make_efc(model: Model, d: Data):
 # ---------------------------------------------------------------------------
 
 
+def _force_bounds(efc):
+    """Per-row force clamp (lo, hi): equality (-BIG, BIG), unilateral
+    (0, BIG), dof-friction (-floss, +floss)."""
+    uni = jnp.asarray(efc["unilateral"])
+    fri = jnp.asarray(efc["is_friction"])
+    fl = efc["floss"]
+    lo = jnp.where(fri, -fl, jnp.where(uni, 0.0, -_BIG))
+    hi = jnp.where(fri, fl, _BIG)
+    return lo, hi
+
+
 def _efc_force(efc, jar):
-    act = jnp.asarray(~efc["unilateral"]) | (jar < 0)
-    act = act & efc["exists"]
-    return jnp.where(act, -efc["D"] * jar, 0.0)
+    lo, hi = _force_bounds(efc)
+    f = jnp.clip(-efc["D"] * jar, lo, hi)
+    return jnp.where(efc["exists"], f, 0.0)
 
 
 def _cost(efc, x, qacc_smooth, jar, qM):
+    """Convex solver cost: Gauss term + per-row piecewise cost — quadratic
+    0.5*D*jar^2 while the force -D*jar is inside its clamp band, linear
+    continuation outside (constant-slope zone of clipped force)."""
     dx = x - qacc_smooth
     gauss = 0.5 * jnp.dot(dx, qM @ dx)
-    act = (jnp.asarray(~efc["unilateral"]) | (jar < 0)) & efc["exists"]
-    return gauss + 0.5 * jnp.sum(jnp.where(act, efc["D"] * jar * jar, 0.0))
+    lo, hi = _force_bounds(efc)
+    D = efc["D"]
+    gc = jnp.clip(D * jar, -hi, -lo)  # = -force
+    cons = gc * jar - 0.5 * gc * gc / jnp.maximum(D, 1e-30)
+    return gauss + jnp.sum(jnp.where(efc["exists"], cons, 0.0))
 
 
 def _linesearch(efc, jar, jp, d0_gauss, slope_gauss):
     """Exact minimization of the piecewise-quadratic cost along direction p.
 
     phi'(alpha) = d0_gauss + alpha*slope_gauss
-                  + sum_i act_i(alpha) * D_i * Jp_i * (Jar_i + alpha*Jp_i)
-    where unilateral rows are active iff Jar_i + alpha*Jp_i < 0.
+                  + sum_i Jp_i * clip(D_i * jar_i(alpha), glo_i, ghi_i)
+    with (glo, ghi) = (-hi, -lo) the clamp band of g = D*jar = -force.
     phi' is nondecreasing (convex cost); find its zero crossing exactly by
-    scanning the sorted activity breakpoints.
-    """
-    uni = jnp.asarray(efc["unilateral"]) & efc["exists"]
-    eq = jnp.asarray(~efc["unilateral"]) & efc["exists"]
-    D, = (efc["D"],)
+    scanning the sorted clamp-crossing breakpoints (each row has up to two:
+    one per finite band edge)."""
+    exists = efc["exists"]
+    D = efc["D"]
+    lo, hi = _force_bounds(efc)
+    glo, ghi = -hi, -lo
 
     def dphi(alpha):
         jar_a = jar + alpha * jp
-        act = (eq | (uni & (jar_a < 0)))
+        gc = jnp.clip(D * jar_a, glo, ghi)
         return (
             d0_gauss
             + alpha * slope_gauss
-            + jnp.sum(jnp.where(act, D * jp * jar_a, 0.0))
+            + jnp.sum(jnp.where(exists, jp * gc, 0.0))
         )
 
-    # breakpoints where unilateral rows flip activity
-    valid = uni & (jnp.abs(jp) > 1e-15)
-    alpha_b = jnp.where(valid, -jar / jnp.where(valid, jp, 1.0), _BIG)
+    # breakpoints where D*jar(alpha) crosses a finite band edge
+    valid = exists & (jnp.abs(jp) > 1e-15)
+    safe_jp = jnp.where(valid, jp, 1.0)
+    safe_d = jnp.maximum(D, 1e-30)
+    b_lo = jnp.where(
+        valid & (glo > -_BIG), (glo / safe_d - jar) / safe_jp, _BIG
+    )
+    b_hi = jnp.where(
+        valid & (ghi < _BIG), (ghi / safe_d - jar) / safe_jp, _BIG
+    )
+    alpha_b = jnp.concatenate([b_lo, b_hi])
     alpha_b = jnp.where(alpha_b > 0, alpha_b, _BIG)
     alpha_s = jnp.sort(alpha_b)
     # clip evaluation points to avoid inf in low precision; crossing at _BIG
@@ -375,8 +444,11 @@ def _linesearch(efc, jar, jp, d0_gauss, slope_gauss):
     frac = jnp.where(jnp.abs(denom) > 1e-30, -prev_d / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0), 0.0)
     alpha_seg = prev_alpha + frac * (cur_alpha - prev_alpha)
 
-    # extrapolation when no breakpoint crossing: slope at +inf
-    act_inf = eq | (uni & (jp < 0))
+    # extrapolation when no breakpoint crossing: slope at +inf comes from
+    # rows whose g never clamps in the direction of travel
+    act_inf = exists & (
+        ((jp > 0) & (ghi >= _BIG)) | ((jp < 0) & (glo <= -_BIG))
+    )
     slope_inf = slope_gauss + jnp.sum(jnp.where(act_inf, D * jp * jp, 0.0))
     last_alpha = jnp.max(jnp.where(alpha_b < _BIG, alpha_eval, 0.0))
     d_last = dphi(last_alpha)
@@ -464,8 +536,8 @@ def _solve_newton(model: Model, d: Data, efc):
     aref = efc["aref"]
     qacc_smooth = d.qacc_smooth
     qfrc_smooth = d.qfrc_smooth
-    uni = jnp.asarray(efc["unilateral"]) & efc["exists"]
-    eq = jnp.asarray(~efc["unilateral"]) & efc["exists"]
+    lo, hi = _force_bounds(efc)
+    glo, ghi = -hi, -lo
 
     def cost_of(x):
         jar = J @ x - aref
@@ -479,10 +551,12 @@ def _solve_newton(model: Model, d: Data, efc):
 
     def body(_, carry):
         x, jar = carry
-        act = eq | (uni & (jar < 0))
-        f = jnp.where(act, -efc["D"] * jar, 0.0)
+        f = _efc_force(efc, jar)
         grad = qM @ x - qfrc_smooth - J.T @ f
-        w = jnp.where(act, efc["D"], 0.0)
+        # Hessian rows: quadratic only while the force is inside its band
+        g = efc["D"] * jar
+        in_band = (g > glo) & (g < ghi) & efc["exists"]
+        w = jnp.where(in_band, efc["D"], 0.0)
         hess = qM + (J.T * w) @ J
         p = -maths.solve_pd_unrolled(hess, grad)
         jp = J @ p
@@ -535,11 +609,17 @@ def _solve_pgs(model: Model, d: Data, efc):
     jar0 = jnp.where(c_ws < c_sm, jar_ws, jar_sm)
     f0 = _efc_force(efc, jar0)
 
+    uni_static = np.asarray(efc["unilateral"])
+    fri_static = np.asarray(efc["is_friction"])
+
     def sweep(_, f):
         for i in range(ne):
             resid = jnp.dot(a_mat[i], f) + b_vec[i]
             fi = f[i] - resid / diag[i]
-            fi = jnp.where(jnp.asarray(efc["unilateral"])[i], jnp.maximum(fi, 0.0), fi)
+            if fri_static[i]:
+                fi = jnp.clip(fi, -efc["floss"][i], efc["floss"][i])
+            elif uni_static[i]:
+                fi = jnp.maximum(fi, 0.0)
             fi = jnp.where(exists[i], fi, 0.0)
             f = f.at[i].set(fi)
         return f

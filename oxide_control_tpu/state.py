@@ -199,9 +199,12 @@ def make_data(model: Model) -> Data:
 
 
 def reset_data(model: Model, data: Data) -> Data:
-    """Restore model defaults, preserving nothing (mj_resetData semantics:
-    qpos <- qpos0, qvel/ctrl/time/warmstart <- 0; reference physics.rs:52-54).
+    """Restore model defaults, preserving nothing but the batch shape and
+    dtype of `data` (mj_resetData semantics: qpos <- qpos0,
+    qvel/ctrl/time/warmstart <- 0; reference physics.rs:52-54).  Called on a
+    batched Data (leading env axes), every env lane is reset.
     """
     fresh = make_data(model)
-    # preserve nothing but array sharding/batching: rebuild from data's shapes
-    return fresh
+    return jax.tree.map(
+        lambda f, d: jnp.broadcast_to(f.astype(d.dtype), d.shape), fresh, data
+    )

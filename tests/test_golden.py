@@ -63,9 +63,10 @@ def compare_windowed(xml, nsteps, window, seed, tol, ctrl_scale=1.0,
     m = load_model_from_xml(xml)
     d0 = make_data(m)
 
-    def run_window(qpos, qvel, warm, cs):
+    def run_window(qpos, qvel, warm, act, cs):
         d = d0.replace(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel),
-                       qacc_warmstart=jnp.asarray(warm))
+                       qacc_warmstart=jnp.asarray(warm),
+                       act=jnp.asarray(act))
 
         def body(d, ctrl):
             d = d.replace(ctrl=ctrl)
@@ -79,7 +80,8 @@ def compare_windowed(xml, nsteps, window, seed, tol, ctrl_scale=1.0,
     worst_q = worst_v = 0.0
     for start in range(0, nsteps, window):
         cs = ctrls[start:start + window]
-        sync = (rd.qpos.copy(), rd.qvel.copy(), rd.qacc_warmstart.copy())
+        sync = (rd.qpos.copy(), rd.qvel.copy(), rd.qacc_warmstart.copy(),
+                rd.act.copy())
         qp_ref, qv_ref = [], []
         for c in cs:
             rd.ctrl[:] = c
@@ -180,3 +182,34 @@ def test_free_body_pgs_solver():
     compare(fixtures.FREE_BODY.replace(
         'solver="CG" iterations="30"', 'solver="PGS" iterations="30"'
     ), 500, 3, 1e-3, init=init, vel_tol=1e-1)
+
+
+def test_frictionloss_pendulum():
+    """Dof friction loss (Huber-cost rows) vs MuJoCo: a pendulum with high
+    frictionloss sticks instead of swinging; trajectories must match."""
+    xml = fixtures.PENDULUM.replace(
+        'damping="0.1"', 'damping="0.1" frictionloss="0.4"'
+    )
+    compare(xml, 1000, 7, 1e-8)
+
+
+def test_frictionloss_walker():
+    """Friction loss on a contact-rich model: friction rows must coexist
+    with limit + contact rows in the same solve."""
+    xml = fixtures.PLANAR_WALKER.replace(
+        '<joint damping="0.1" armature="0.01"/>',
+        '<joint damping="0.1" armature="0.01" frictionloss="0.1"/>',
+    )
+    compare(xml, 500, 8, 1e-4, vel_tol=1e-2)
+
+
+def test_frictionloss_disable_flag():
+    """<flag frictionloss="disable"/> must drop the friction rows."""
+    xml = fixtures.PENDULUM.replace(
+        'damping="0.1"', 'damping="0.1" frictionloss="0.4"'
+    ).replace(
+        '<option timestep="0.002" gravity="0 0 -9.81"/>',
+        '<option timestep="0.002" gravity="0 0 -9.81">'
+        '<flag frictionloss="disable"/></option>',
+    )
+    compare(xml, 500, 7, 1e-8)

@@ -162,3 +162,49 @@ def test_pair_table_vs_mujoco_contacts(pair):
         key = (min(g1, g2), max(g1, g2))
         key_sorted = key if ref.geom_type[key[0]] <= ref.geom_type[key[1]] else (key[1], key[0])
         assert key_sorted in ours or (key_sorted[1], key_sorted[0]) in ours
+
+
+def test_intvelocity_requires_actrange():
+    """MuJoCo requires actrange on intvelocity (bounded setpoint) and
+    act-limits it by default; we must reject at compile like the oracle."""
+    from oxide_control_tpu.api.errors import ModelError
+    from oxide_control_tpu import load_model_from_xml
+
+    bad = """
+    <mujoco>
+      <worldbody>
+        <body pos="0 0 1"><joint name="h" type="hinge"/>
+          <geom type="sphere" size="0.05" mass="1"/></body>
+      </worldbody>
+      <actuator><intvelocity joint="h" kp="2"/></actuator>
+    </mujoco>
+    """
+    with pytest.raises(ModelError):
+        load_model_from_xml(bad)
+    good = bad.replace('kp="2"', 'kp="2" actrange="-1 1"')
+    m = load_model_from_xml(good)
+    assert m.actuator_actlimited[0]
+    assert m.na == 1
+
+
+def test_damper_requires_nonneg_ctrlrange():
+    """A damper with negative ctrl injects energy; MuJoCo refuses to compile
+    without ctrlrange[0] >= 0 and so do we."""
+    from oxide_control_tpu.api.errors import ModelError
+    from oxide_control_tpu import load_model_from_xml
+
+    tmpl = """
+    <mujoco>
+      <worldbody>
+        <body pos="0 0 1"><joint name="h" type="hinge"/>
+          <geom type="sphere" size="0.05" mass="1"/></body>
+      </worldbody>
+      <actuator><damper joint="h" kv="3" {attr}/></actuator>
+    </mujoco>
+    """
+    with pytest.raises(ModelError):
+        load_model_from_xml(tmpl.format(attr=""))
+    with pytest.raises(ModelError):
+        load_model_from_xml(tmpl.format(attr='ctrlrange="-1 1"'))
+    m = load_model_from_xml(tmpl.format(attr='ctrlrange="0 1"'))
+    assert m.actuator_ctrllimited[0]

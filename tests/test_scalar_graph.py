@@ -55,4 +55,27 @@ def test_supports_predicate():
     assert sg.supports(load_asset("cheetah"))
     assert sg.supports(load_asset("walker"))
     assert sg.supports(load_asset("cartpole")) is False  # RK4 integrator
-    assert sg.supports(load_asset("humanoid")) is False  # free joint
+
+
+def test_supports_rejects_stateful_actuators():
+    """A filter actuator (na > 0) must not take the fast path: the kernel
+    has no activation-state integration (force = gain*ctrl + bias only)."""
+    from oxide_control_tpu import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option solver="Newton" iterations="4"/>
+      <worldbody>
+        <body pos="0 0 1">
+          <joint name="h" type="hinge" axis="0 1 0"/>
+          <geom type="capsule" fromto="0 0 0 0 0 0.4" size="0.02" mass="1"/>
+        </body>
+      </worldbody>
+      <actuator>
+        <general joint="h" dyntype="filter" dynprm="0.1"/>
+      </actuator>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert m.na == 1
+    assert sg.supports(m) is False
