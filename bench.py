@@ -1,13 +1,21 @@
 #!/usr/bin/env python
-"""Benchmark: env-steps/s/chip, 4096 batched cheetah-run envs (BASELINE.md).
+"""Benchmark: env-steps/s/chip for every BASELINE.md config on one chip.
 
-Runs the full environment step (physics + reward + termination + masked
-auto-reset + random policy) in lockstep on one chip.  When the (model, task)
-pair qualifies, the whole K-step rollout runs as ONE Pallas kernel
+Configs (BASELINE.json ladder):
+  1. cartpole swingup @ 1024   (RK4 -> general vmapped path)
+  2. cheetah  run     @ 4096   (Pallas megakernel; the headline metric)
+  3. walker   walk    @ 4096   (Pallas megakernel)
+  4. humanoid run     @ 8192   (Pallas megakernel; free-joint class)
+
+Each config runs the full environment step (physics + reward + termination +
+masked auto-reset + random policy) in lockstep.  When the (model, task) pair
+qualifies, the whole K-step rollout runs as ONE Pallas kernel
 (parallel.rollout.FastRollout); otherwise the general vmapped pipeline.
 
 Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
+`value` is the cheetah-run rate (the BASELINE north-star config);
+`detail.configs` carries every config's rate and path.
 
 Timing note: device sync is forced by a host transfer of the per-env reward
 sums (np.asarray), not block_until_ready — under the tunneled TPU platform
@@ -29,15 +37,22 @@ import jax.numpy as jnp
 from oxide_control_tpu import suite
 from oxide_control_tpu.parallel import rollout as rollout_mod
 
-BATCH = 4096
-STEPS_PER_CALL = 200
+# (domain, task, batch, steps_per_call) — steps_per_call sized so one timed
+# call is ~10-100ms of device work per config
+CONFIGS = (
+    ("cartpole", "swingup", 1024, 200),
+    ("cheetah", "run", 4096, 200),
+    ("walker", "walk", 4096, 200),
+    ("humanoid", "run", 8192, 100),
+)
+HEADLINE = ("cheetah", "run")
 WARMUP_CALLS = 1
 TIMED_CALLS = 10
-TARGET = 5.0e6  # BASELINE.json north star: >=5M env-steps/s/chip
+TARGET = 5.0e6  # BASELINE.json north star: >=5M env-steps/s/chip (cheetah)
 
 
-def bench_fast(benv):
-    roll = rollout_mod.FastRollout(benv, STEPS_PER_CALL)
+def bench_fast(benv, steps_per_call):
+    roll = rollout_mod.FastRollout(benv, steps_per_call)
     state = roll.init(jax.random.PRNGKey(0))
     rng = jax.random.PRNGKey(1)
 
@@ -58,21 +73,22 @@ def bench_fast(benv):
     return wall, compile_s, "pallas-megakernel"
 
 
-def bench_general(benv):
+def bench_general(benv, steps_per_call):
     nu = benv.model.nu
+    batch = benv.num_envs
 
     def bundle(data, rng):
         def body(carry, key):
             d, _ = carry
             k_act, k_reset = jax.random.split(key)
             action = jax.random.uniform(
-                k_act, (BATCH, nu), minval=-1.0, maxval=1.0,
+                k_act, (batch, nu), minval=-1.0, maxval=1.0,
                 dtype=jnp.float32,
             )
             d, ts = benv.step(d, action, k_reset)
             return (d, key), ts.reward[0]
 
-        keys = jax.random.split(rng, STEPS_PER_CALL)
+        keys = jax.random.split(rng, steps_per_call)
         (data, _), rewards = jax.lax.scan(body, (data, rng), keys)
         return data, rewards[-1]
 
@@ -96,29 +112,51 @@ def bench_general(benv):
     return wall, compile_s, "general-vmap"
 
 
-def main():
-    benv = suite.load_batched("cheetah", "run", BATCH, dtype=np.float32)
+def bench_config(domain, task, batch, steps_per_call):
+    benv = suite.load_batched(domain, task, batch, dtype=np.float32)
     if rollout_mod.fast_rollout_supported(benv):
-        wall, compile_s, path = bench_fast(benv)
+        wall, compile_s, path = bench_fast(benv, steps_per_call)
     else:
-        wall, compile_s, path = bench_general(benv)
+        wall, compile_s, path = bench_general(benv, steps_per_call)
+    steps = batch * steps_per_call * TIMED_CALLS
+    return {
+        "rate": round(steps / wall, 1),
+        "path": path,
+        "batch": batch,
+        "steps_per_call": steps_per_call,
+        "timed_calls": TIMED_CALLS,
+        "wall_s": round(wall, 3),
+        "warmup_and_compile_s": round(compile_s, 1),
+    }
 
-    steps = BATCH * STEPS_PER_CALL * TIMED_CALLS
-    rate = steps / wall
+
+def main():
+    only = os.environ.get("BENCH_ONLY")  # "domain:task" filter for dev runs
+    results = {}
+    for domain, task, batch, spc in CONFIGS:
+        if only and only != f"{domain}:{task}":
+            continue
+        try:
+            results[f"{domain}-{task}@{batch}"] = bench_config(
+                domain, task, batch, spc
+            )
+        except Exception as e:  # record the failure, keep benching the rest
+            results[f"{domain}-{task}@{batch}"] = {"error": repr(e)[:300]}
+
+    head_key = next(
+        (k for k in results if k.startswith("-".join(HEADLINE))), None
+    )
+    headline = results.get(head_key, {})
+    rate = headline.get("rate", 0.0)
     dev = jax.devices()[0]
     print(json.dumps({
         "metric": "cheetah-run env-steps/s/chip @ batch 4096",
-        "value": round(rate, 1),
+        "value": rate,
         "unit": "env-steps/s",
         "vs_baseline": round(rate / TARGET, 4),
         "detail": {
-            "path": path,
-            "batch": BATCH,
-            "steps_per_call": STEPS_PER_CALL,
-            "timed_calls": TIMED_CALLS,
-            "wall_s": round(wall, 3),
-            "warmup_and_compile_s": round(compile_s, 1),
             "device": str(getattr(dev, "device_kind", dev)),
+            "configs": results,
         },
     }))
 

@@ -489,7 +489,11 @@ class _Compiler:
             if "joint" in attrs:
                 trntype, target = TrnType.JOINT, attrs["joint"]
             elif "site" in attrs:
-                raise UnsupportedFeatureError("site transmission not yet supported")
+                if "refsite" in attrs:
+                    raise UnsupportedFeatureError(
+                        "site transmission with refsite not yet supported"
+                    )
+                trntype, target = TrnType.SITE, attrs["site"]
             else:
                 raise ModelError(f"actuator <{kind}> missing transmission target")
 
@@ -622,7 +626,9 @@ class _Compiler:
                 obj1, obj2 = attrs["body1"], attrs.get("body2", "world")
             elif elem.tag == "weld":
                 etype = EqType.WELD
-                relpose = _attr_floats(attrs, "relpose", [0, 0, 0, 1, 0, 0, 0], 7)
+                # MuJoCo default relpose is all-zero; a zero quat part means
+                # "use the relative pose at qpos0" (resolved in _set_const)
+                relpose = _attr_floats(attrs, "relpose", [0, 0, 0, 0, 0, 0, 0], 7)
                 data[3:10] = relpose
                 data[10] = _attr_float(attrs, "torquescale", 1.0)
                 if "anchor" in attrs:
@@ -668,6 +674,14 @@ class _Compiler:
         integ = attrs.get("integrator", "Euler")
         if integ not in _INTEGRATORS:
             raise UnsupportedFeatureError(f"integrator {integ!r} not supported")
+        # fluid forces (mj_fluid) are not implemented: running with nonzero
+        # density/viscosity/wind would be silently wrong physics
+        if (_attr_float(attrs, "density", 0.0) != 0.0
+                or _attr_float(attrs, "viscosity", 0.0) != 0.0
+                or np.any(_attr_floats(attrs, "wind", [0, 0, 0], 3) != 0)):
+            raise UnsupportedFeatureError(
+                "fluid forces (density/viscosity/wind) not supported"
+            )
         solver = attrs.get("solver", "Newton")
         cone = attrs.get("cone", "pyramidal")
         return Option(
@@ -1024,8 +1038,17 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         except ValueError:
             raise ModelError(f"actuator references unknown joint {name!r}")
 
-    actuator_trnid = [ _joint_id(a["target"]) if a["trntype"] == TrnType.JOINT else -1
-                       for a in c.actuators ]
+    def _site_id(name):
+        try:
+            return names.site.index(name)
+        except ValueError:
+            raise ModelError(f"actuator references unknown site {name!r}")
+
+    actuator_trnid = [
+        _joint_id(a["target"]) if a["trntype"] == TrnType.JOINT
+        else _site_id(a["target"])
+        for a in c.actuators
+    ]
 
     # ----- equality id resolution -----
     eq_obj1id, eq_obj2id = [], []
@@ -1227,10 +1250,32 @@ def _set_const(model: Model) -> Model:
     # FK at qpos0: all joint transforms are identity
     xpos = np.zeros((nbody, 3))
     xmat = np.tile(np.eye(3), (nbody, 1, 1))
+    xquat = np.tile(np.array([1.0, 0, 0, 0]), (nbody, 1))
     for b in range(1, nbody):
         p = model.body_parentid[b]
         xpos[b] = xpos[p] + xmat[p] @ body_pos[b]
         xmat[b] = xmat[p] @ _quat_to_mat(body_quat[b])
+        xquat[b] = _quat_mul(xquat[p], body_quat[b])
+
+    # resolve weld relpose defaults: a zero quat part means "relative pose
+    # of body2 in body1's frame at qpos0" (MuJoCo compiler semantics)
+    eq_data = np.asarray(model.eq_data, dtype=np.float64).copy()
+    eq_fixed = False
+    from ..model import EqType as _ET
+
+    for e in range(model.neq):
+        if _ET(model.eq_type[e]) != _ET.WELD:
+            continue
+        if np.linalg.norm(eq_data[e][6:10]) > 0:
+            continue
+        b1 = model.eq_obj1id[e]
+        b2 = max(model.eq_obj2id[e], 0)
+        eq_data[e][3:6] = xmat[b1].T @ (xpos[b2] - xpos[b1])
+        q1c = xquat[b1] * np.array([1.0, -1, -1, -1])
+        eq_data[e][6:10] = _quat_mul(q1c, xquat[b2])
+        eq_fixed = True
+    if eq_fixed:
+        model = model.replace(eq_data=eq_data)
     xipos = xpos + np.einsum("bij,bj->bi", xmat, body_ipos)
     ximat = np.einsum(
         "bij,bjk->bik", xmat, np.stack([_quat_to_mat(q) for q in body_iquat])

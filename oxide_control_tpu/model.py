@@ -278,13 +278,19 @@ class Model:
         return self.names.id2name(objtype, idx)
 
     def astype(self, dtype) -> "Model":
-        """Cast float array leaves to `dtype` (e.g. f32 for TPU runs)."""
+        """Cast float array leaves to `dtype` (e.g. f32 for TPU runs).
+
+        Leaves stay host-side numpy: jit embeds them as constants when the
+        model is closed over, and host-side predicates (fast-path
+        eligibility checks, static row layouts) read them without paying a
+        device round trip — which matters under the tunneled TPU platform,
+        where every per-array readback costs a network round trip."""
         def cast(x):
             if isinstance(x, (jax.Array, np.ndarray)) and jnp.issubdtype(
                 x.dtype, jnp.floating
             ):
-                return jnp.asarray(x, dtype=dtype)
-            return jnp.asarray(x)
+                return np.asarray(x, dtype=dtype)
+            return np.asarray(x)
 
         return jax.tree.map(cast, self)
 

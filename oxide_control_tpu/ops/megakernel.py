@@ -50,8 +50,12 @@ class EnvHooks:
     time_limit: float
     reset_noise: float = 0.0
     # (nq,) per-coordinate noise amplitude multiplier for auto-reset
-    # randomization (0 => coordinate resets exactly to qpos0)
+    # randomization (0 => coordinate resets exactly to the reset target).
+    # Quaternion coordinates must be masked to 0 (reset to the exact quat).
     reset_mask: Sequence[float] | None = None
+    # (nq,) auto-reset target; None => model qpos0.  Tasks whose episodes
+    # start away from qpos0 (cartpole swingup: pole down) set this.
+    reset_qpos0: Sequence[float] | None = None
 
 
 def build_rollout(
@@ -78,20 +82,26 @@ def build_rollout(
     h = float(model.opt.timestep)
     k_steps = steps_per_call
     qpos0 = [float(x) for x in np.asarray(jax.device_get(model.qpos0))]
+    if hooks is not None and hooks.reset_qpos0 is not None:
+        qpos0 = [float(x) for x in hooks.reset_qpos0]
     if hooks is not None:
-        limit_steps = hooks.time_limit - 1e-6
+        # integer step-count limit: f32 `t += h` accumulated over thousands
+        # of steps drifts enough to shift the reset boundary by a step, so
+        # the kernel counts steps exactly and reconstructs t = n * h
+        limit_n = int(math.floor((hooks.time_limit - 1e-6) / h)) + 1
         reset_noise = float(hooks.reset_noise)
         if hooks.reset_mask is None:
             reset_mask = [1.0] * nq
         else:
             reset_mask = [float(x) for x in hooks.reset_mask]
     else:
+        limit_n = None
         reset_noise = 0.0
         reset_mask = [0.0] * nq
 
     def kernel(qpos_ref, qvel_ref, ws_ref, time_ref, ctrl_ref, seed_ref,
                oq_ref, ov_ref, ows_ref, ot_ref, orew_ref):
-        if reset_noise:
+        if reset_noise and not interpret:
             # per-tile PRNG stream for reset randomization
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
@@ -99,33 +109,51 @@ def build_rollout(
         v0 = tuple(qvel_ref[i, :] for i in range(nv))
         w0 = tuple(ws_ref[i, :] for i in range(nv))
         t0 = time_ref[0, :]
+        # exact step counter (t0 is always an exact multiple of h here)
+        n0 = jnp.round(t0 * (1.0 / h)).astype(jnp.int32)
         rew0 = jnp.zeros_like(t0)
 
         def body(k, carry):
-            q, v, w, t, rew = carry
+            q, v, w, n, rew = carry
             c = tuple(ctrl_ref[k, u, :] for u in range(nu))
             q, v, w = step(list(q), list(v), list(w), list(c))
-            t = t + h
+            n = n + 1
 
             if hooks is not None:
                 rew = rew + hooks.reward(list(q), list(v), list(c))
 
             # divergence + time-limit -> masked auto-reset
-            bad = jnp.zeros_like(t, dtype=jnp.bool_)
+            bad = jnp.zeros_like(n, dtype=jnp.bool_)
             for val in list(q) + list(v):
                 if not sg._is_const(val):
                     bad = bad | ~jnp.isfinite(val) | (jnp.abs(val) > 1e10)
-            if hooks is not None:
-                done = bad | (t > limit_steps)
+            if limit_n is not None:
+                done = bad | (n >= limit_n)
             else:
                 done = bad
 
-            if reset_noise:
-                bits = pltpu.prng_random_bits((nq,) + t.shape)
-                signed = pltpu.bitcast(bits, jnp.int32).astype(t.dtype)
+            if reset_noise and not interpret:
+                bits = pltpu.prng_random_bits((nq,) + n.shape)
+                signed = pltpu.bitcast(bits, jnp.int32).astype(t0.dtype)
                 q_reset = [
                     qpos0[i]
                     + reset_noise * reset_mask[i] * (signed[i] * (2.0 ** -31))
+                    for i in range(nq)
+                ]
+            elif reset_noise:
+                # interpret mode: the HLO interpreter cannot lower the TPU
+                # PRNG primitives (nor program_id outside grid lowering);
+                # use the threefry-based jax.random stream instead
+                # (statistically equivalent uniform [-1, 1) noise)
+                key = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(7), seed_ref[0]), k
+                )
+                u = jax.random.uniform(
+                    key, (nq,) + n.shape, minval=-1.0, maxval=1.0,
+                    dtype=t0.dtype,
+                )
+                q_reset = [
+                    qpos0[i] + reset_noise * reset_mask[i] * u[i]
                     for i in range(nq)
                 ]
             else:
@@ -133,18 +161,18 @@ def build_rollout(
             q = tuple(jnp.where(done, q_reset[i], q[i]) for i in range(nq))
             v = tuple(jnp.where(done, 0.0, v[i]) for i in range(nv))
             w = tuple(jnp.where(done, 0.0, w[i]) for i in range(nv))
-            t = jnp.where(done, 0.0, t)
-            return (q, v, w, t, rew)
+            n = jnp.where(done, 0, n)
+            return (q, v, w, n, rew)
 
-        q, v, w, t, rew = jax.lax.fori_loop(
-            0, k_steps, body, (q0, v0, w0, t0, rew0)
+        q, v, w, n, rew = jax.lax.fori_loop(
+            0, k_steps, body, (q0, v0, w0, n0, rew0)
         )
         for i in range(nq):
             oq_ref[i, :] = q[i]
         for i in range(nv):
             ov_ref[i, :] = v[i]
             ows_ref[i, :] = w[i]
-        ot_ref[0, :] = t
+        ot_ref[0, :] = n.astype(t0.dtype) * h
         orew_ref[0, :] = rew
 
     grid = (batch // tile,)
@@ -157,6 +185,13 @@ def build_rollout(
         (k_steps, nu, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
     )
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    # large models (humanoid: nv=27, ~5k live lane-vectors at the Cholesky /
+    # Newton peak) exceed the default 16MB scoped-vmem stack; raise the
+    # Mosaic limit toward the physical VMEM size
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024
+    )
 
     def fn(qpos, qvel, ws, time, ctrl, seed):
         dtype = qpos.dtype
@@ -174,6 +209,7 @@ def build_rollout(
                 jax.ShapeDtypeStruct((1, batch), dtype),
             ),
             interpret=interpret,
+            compiler_params=None if interpret else compiler_params,
         )(qpos, qvel, ws, time, ctrl, seed)
 
     return jax.jit(fn, donate_argnums=(0, 1, 2, 3))

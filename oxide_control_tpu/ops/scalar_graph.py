@@ -16,10 +16,12 @@ rows) is compiled away at trace time into straight-line code:
   the reference pipeline) or inside a single Pallas TPU kernel
   (ops/megakernel.py) with K steps per kernel invocation.
 
-Supported model class (checked by :func:`supports`): scalar joints
-(hinge/slide), motor/general actuators on joints, plane-vs-sphere/capsule
-contacts (pyramidal, condim 1/3), joint limits, Newton solver, Euler
-integrator.  The general pipeline remains the fallback for everything else.
+Supported model class (checked by :func:`supports`): hinge/slide/ball/free
+joints (quaternion FK + manifold Euler integration for the latter two),
+stateless motor/general actuators on scalar joints, plane-vs-sphere/capsule
+contacts (pyramidal, condim 1/3), scalar joint limits, Newton solver, Euler
+integrator.  This covers the whole cheetah/walker/humanoid benchmark ladder;
+the general pipeline remains the fallback for everything else.
 """
 
 from __future__ import annotations
@@ -96,6 +98,13 @@ def mul(a, b):
 
 def fma(acc, a, b):
     return add(acc, mul(a, b))
+
+
+def sum_scalars(xs):
+    out = 0.0
+    for x in xs:
+        out = add(out, x)
+    return out
 
 
 def dot3(a, b):
@@ -246,10 +255,14 @@ def supports(model: Model) -> bool:
         # MuJoCo requires a free joint to be its body's only joint
         if jt == JointType.FREE and model.body_jntnum[model.jnt_bodyid[j]] != 1:
             return False
-    if model.opt.integrator != Integrator.EULER:
+    if model.opt.integrator not in (Integrator.EULER, Integrator.RK4):
         return False
     if model.opt.solver != SolverType.NEWTON:
         return False
+    from ..model import ConeType
+
+    if model.opt.cone == ConeType.ELLIPTIC and model.npair:
+        return False  # kernel Newton implements the pyramidal cone only
     if any(t != TrnType.JOINT for t in model.actuator_trntype):
         return False
     for u in range(model.nu):
@@ -322,7 +335,9 @@ def build_step(model: Model, with_env: bool = False, task=None):
     bd_mask = smooth.body_dof_mask(model)          # (nbody, nv)
     sub_mask = smooth.subtree_mask(model)          # (nbody, nbody)
 
-    def step(qpos, qvel, warmstart, ctrl, time=None, debug=None):
+    def forward_pass(qpos, qvel, warmstart, ctrl, debug=None):
+        """Full forward dynamics to qacc (no integration); returns the
+        pieces integrators need (mass-matrix dict + Cholesky helpers)."""
         # ----------------- FK -----------------
         # xanchor/xaxis are captured DURING the walk (before each joint's
         # own transform), matching mj_kinematics: a later joint of the same
@@ -335,23 +350,39 @@ def build_step(model: Model, with_env: bool = False, task=None):
             p = model.body_parentid[b]
             pos = vadd3(xpos[p], qrot(xquat[p], tuple(mc.body_pos[b])))
             quat = qmul(xquat[p], tuple(mc.body_quat[b]))
-            for j in smooth.body_joints(model, b):
-                jt = model.jnt_type[j]
+            jids = smooth.body_joints(model, b)
+            if len(jids) == 1 and model.jnt_type[jids[0]] == JointType.FREE:
+                j = jids[0]
                 qadr = model.jnt_qposadr[j]
-                axis_local = mc.jnt_axis[j]
-                jpos_local = tuple(mc.jnt_pos[j])
-                axis_w = qrot(quat, tuple(axis_local))
-                anchor = vadd3(pos, qrot(quat, jpos_local))
-                if jt == JointType.SLIDE:
-                    disp = sub(qpos[qadr], float(mc.qpos0[qadr]))
-                    pos = vadd3(pos, vscale3(axis_w, disp))
-                else:  # hinge
-                    angle = sub(qpos[qadr], float(mc.qpos0[qadr]))
-                    qloc = axis_angle_quat(axis_local, angle)
-                    quat = qmul(quat, qloc)
-                    pos = vsub3(anchor, qrot(quat, jpos_local))
-                xanchor[j] = anchor
-                xaxis[j] = axis_w
+                pos = (qpos[qadr], qpos[qadr + 1], qpos[qadr + 2])
+                quat = qnormalize(tuple(qpos[qadr + 3 + i] for i in range(4)))
+                xanchor[j] = pos
+                # MuJoCo keeps the free joint's axis unrotated (global z)
+                xaxis[j] = tuple(float(x) for x in mc.jnt_axis[j])
+            else:
+                for j in jids:
+                    jt = model.jnt_type[j]
+                    qadr = model.jnt_qposadr[j]
+                    axis_local = mc.jnt_axis[j]
+                    jpos_local = tuple(mc.jnt_pos[j])
+                    axis_w = qrot(quat, tuple(axis_local))
+                    anchor = vadd3(pos, qrot(quat, jpos_local))
+                    if jt == JointType.SLIDE:
+                        disp = sub(qpos[qadr], float(mc.qpos0[qadr]))
+                        pos = vadd3(pos, vscale3(axis_w, disp))
+                    elif jt == JointType.BALL:
+                        qloc = qnormalize(
+                            tuple(qpos[qadr + i] for i in range(4))
+                        )
+                        quat = qmul(quat, qloc)
+                        pos = vsub3(anchor, qrot(quat, jpos_local))
+                    else:  # hinge
+                        angle = sub(qpos[qadr], float(mc.qpos0[qadr]))
+                        qloc = axis_angle_quat(axis_local, angle)
+                        quat = qmul(quat, qloc)
+                        pos = vsub3(anchor, qrot(quat, jpos_local))
+                    xanchor[j] = anchor
+                    xaxis[j] = axis_w
             xpos[b] = pos
             xquat[b] = quat
         xmat = [quat_to_mat(q) for q in xquat]
@@ -415,7 +446,23 @@ def build_step(model: Model, with_env: bool = False, task=None):
             vadr = model.jnt_dofadr[j]
             b = model.jnt_bodyid[j]
             com = subtree_com[model.body_rootid[b]]
-            if jt == JointType.SLIDE:
+            if jt == JointType.FREE:
+                # 3 world-aligned translations (constant cdof) + 3 rotations
+                # about the body-frame axes, anchored at the body origin
+                for i in range(3):
+                    e = [0.0, 0.0, 0.0]
+                    e[i] = 1.0
+                    cdof[vadr + i] = ((0.0, 0.0, 0.0), tuple(e))
+                off = vsub3(com, xpos[b])
+                for i in range(3):
+                    col = mat_col(xmat[b], i)
+                    cdof[vadr + 3 + i] = (col, cross3(col, off))
+            elif jt == JointType.BALL:
+                off = vsub3(com, xanchor[j])
+                for i in range(3):
+                    col = mat_col(xmat[b], i)
+                    cdof[vadr + i] = (col, cross3(col, off))
+            elif jt == JointType.SLIDE:
                 cdof[vadr] = ((0.0, 0.0, 0.0), xaxis[j])
             else:
                 off = vsub3(com, xanchor[j])
@@ -469,20 +516,37 @@ def build_step(model: Model, with_env: bool = False, task=None):
         # ----------------- velocity stage -----------------
         cvel = [((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))] * nbody
         cdof_dot = [((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))] * nv
+        def vel_add(v, i):
+            ca, cl = cdof[i]
+            return (
+                vadd3(v[0], vscale3(ca, qvel[i])),
+                vadd3(v[1], vscale3(cl, qvel[i])),
+            )
+
         for b in range(1, nbody):
             p = model.body_parentid[b]
-            va, vl = cvel[p]
+            v = cvel[p]
             for j in smooth.body_joints(model, b):
-                i = model.jnt_dofadr[j]
-                ca, cl = cdof[i]
-                # cdofdot = cvel x cdof (motion cross)
-                cdof_dot[i] = (
-                    cross3(va, ca),
-                    vadd3(cross3(va, cl), cross3(vl, ca)),
-                )
-                va = vadd3(va, vscale3(ca, qvel[i]))
-                vl = vadd3(vl, vscale3(cl, qvel[i]))
-            cvel[b] = (va, vl)
+                jt = model.jnt_type[j]
+                adr = model.jnt_dofadr[j]
+                if jt == JointType.FREE:
+                    # translation dofs: constant cdof -> cdof_dot = 0
+                    for i in range(adr, adr + 3):
+                        v = vel_add(v, i)
+                    # rotation dofs: cdof_dot = v_after_translation x cdof
+                    for i in range(adr + 3, adr + 6):
+                        cdof_dot[i] = motion_cross(v, cdof[i])
+                    for i in range(adr + 3, adr + 6):
+                        v = vel_add(v, i)
+                elif jt == JointType.BALL:
+                    for i in range(adr, adr + 3):
+                        cdof_dot[i] = motion_cross(v, cdof[i])
+                    for i in range(adr, adr + 3):
+                        v = vel_add(v, i)
+                else:
+                    cdof_dot[adr] = motion_cross(v, cdof[adr])
+                    v = vel_add(v, adr)
+            cvel[b] = v
 
         # rne (bias forces)
         cacc = [((0.0, 0.0, 0.0), (neg(gravity[0]), neg(gravity[1]), neg(gravity[2])))] * nbody
@@ -490,8 +554,8 @@ def build_step(model: Model, with_env: bool = False, task=None):
         for b in range(1, nbody):
             p = model.body_parentid[b]
             aa, al = cacc[p]
-            for j in smooth.body_joints(model, b):
-                i = model.jnt_dofadr[j]
+            adr, num = model.body_dofadr[b], model.body_dofnum[b]
+            for i in range(adr, adr + num) if adr >= 0 else ():
                 da, dl = cdof_dot[i]
                 aa = vadd3(aa, vscale3(da, qvel[i]))
                 al = vadd3(al, vscale3(dl, qvel[i]))
@@ -647,21 +711,103 @@ def build_step(model: Model, with_env: bool = False, task=None):
             qfrc_constraint = [0.0] * nv
 
         new_ws = list(qacc)
+        return dict(
+            qacc=qacc, new_ws=new_ws, qfrc_smooth=qfrc_smooth,
+            qfrc_constraint=qfrc_constraint, m_mat=m_mat,
+            chol_factor=chol_factor, chol_solve=chol_solve,
+        )
 
-        # ----------------- Euler integration -----------------
-        if model.any_damping and not model.opt.disable_eulerdamp:
-            damp = [h * float(mc.dof_damping[i]) for i in range(nv)]
-            l_mhb = chol_factor(m_mat, extra_diag=damp)
-            qfrc_tot = [add(qfrc_smooth[i], qfrc_constraint[i]) for i in range(nv)]
-            dv = chol_solve(l_mhb, qfrc_tot)
-            qvel_new = [add(qvel[i], mul(h, dv[i])) for i in range(nv)]
-        else:
-            qvel_new = [add(qvel[i], mul(h, qacc[i])) for i in range(nv)]
-        qpos_new = [add(qpos[i], mul(h, qvel_new[i])) for i in range(nq)]
+    def integrate_pos_sg(qpos, qvel_new, dt):
+        """mj_integratePos in scalar form (manifold update for quats)."""
+        if nq == nv:  # scalar joints only: plain vector update
+            return [add(qpos[i], mul(dt, qvel_new[i])) for i in range(nq)]
+        qpos_new = list(qpos)
+        for j in range(model.njnt):
+            jt = model.jnt_type[j]
+            qadr = model.jnt_qposadr[j]
+            vadr = model.jnt_dofadr[j]
+            if jt in (JointType.HINGE, JointType.SLIDE):
+                qpos_new[qadr] = add(qpos[qadr], mul(dt, qvel_new[vadr]))
+            elif jt == JointType.BALL:
+                q = quat_integrate_scalar(
+                    tuple(qpos[qadr + i] for i in range(4)),
+                    tuple(qvel_new[vadr + i] for i in range(3)), dt,
+                )
+                for i in range(4):
+                    qpos_new[qadr + i] = q[i]
+            else:  # free: world-frame translation + local angular vel
+                for i in range(3):
+                    qpos_new[qadr + i] = add(
+                        qpos[qadr + i], mul(dt, qvel_new[vadr + i])
+                    )
+                q = quat_integrate_scalar(
+                    tuple(qpos[qadr + 3 + i] for i in range(4)),
+                    tuple(qvel_new[vadr + 3 + i] for i in range(3)), dt,
+                )
+                for i in range(4):
+                    qpos_new[qadr + 3 + i] = q[i]
+        return qpos_new
 
-        if time is None:
-            return qpos_new, qvel_new, new_ws
-        return qpos_new, qvel_new, new_ws, time + h
+    if model.opt.integrator == Integrator.EULER:
+
+        def step(qpos, qvel, warmstart, ctrl, time=None, debug=None):
+            fw = forward_pass(qpos, qvel, warmstart, ctrl, debug=debug)
+            # semi-implicit Euler with implicit joint damping (mj_Euler)
+            if model.any_damping and not model.opt.disable_eulerdamp:
+                damp = [h * float(mc.dof_damping[i]) for i in range(nv)]
+                l_mhb = fw["chol_factor"](fw["m_mat"], extra_diag=damp)
+                qfrc_tot = [
+                    add(fw["qfrc_smooth"][i], fw["qfrc_constraint"][i])
+                    for i in range(nv)
+                ]
+                dv = fw["chol_solve"](l_mhb, qfrc_tot)
+                qvel_new = [add(qvel[i], mul(h, dv[i])) for i in range(nv)]
+            else:
+                qvel_new = [
+                    add(qvel[i], mul(h, fw["qacc"][i])) for i in range(nv)
+                ]
+            qpos_new = integrate_pos_sg(qpos, qvel_new, h)
+            if time is None:
+                return qpos_new, qvel_new, fw["new_ws"]
+            return qpos_new, qvel_new, fw["new_ws"], time + h
+
+    else:  # RK4 (mj_RungeKutta, N=4): 4 chained forward passes
+
+        def step(qpos, qvel, warmstart, ctrl, time=None, debug=None):
+            fw = forward_pass(qpos, qvel, warmstart, ctrl, debug=debug)
+            vels = [list(qvel)]
+            accs = [fw["qacc"]]
+            ws = fw["new_ws"]
+            A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
+            B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+            for i in range(3):
+                dq = [
+                    sum_scalars([mul(A[i][j], vels[j][k]) for j in range(i + 1)])
+                    for k in range(nv)
+                ]
+                dv = [
+                    sum_scalars([mul(A[i][j], accs[j][k]) for j in range(i + 1)])
+                    for k in range(nv)
+                ]
+                qpos_i = integrate_pos_sg(qpos, dq, h)
+                qvel_i = [add(qvel[k], mul(h, dv[k])) for k in range(nv)]
+                fw = forward_pass(qpos_i, qvel_i, ws, ctrl)
+                ws = fw["new_ws"]
+                vels.append(qvel_i)
+                accs.append(fw["qacc"])
+            dq = [
+                sum_scalars([mul(B[j], vels[j][k]) for j in range(4)])
+                for k in range(nv)
+            ]
+            dv = [
+                sum_scalars([mul(B[j], accs[j][k]) for j in range(4)])
+                for k in range(nv)
+            ]
+            qpos_new = integrate_pos_sg(qpos, dq, h)
+            qvel_new = [add(qvel[k], mul(h, dv[k])) for k in range(nv)]
+            if time is None:
+                return qpos_new, qvel_new, ws
+            return qpos_new, qvel_new, ws, time + h
 
     return step
 
@@ -673,8 +819,11 @@ def build_step(model: Model, with_env: bool = False, task=None):
 
 def _kbi_const(model, solref, solimp, pos, h):
     """Scalar-graph version of the impedance/aref transform; solref/solimp
-    are python constants, pos is traced."""
+    are python constants, pos is traced.  dmin/dmax are clamped into
+    [mjMINIMP, mjMAXIMP] before interpolation, matching MuJoCo."""
     dmin, dmax, width, mid, power = (float(x) for x in solimp)
+    dmin = min(max(dmin, 0.0001), 0.9999)
+    dmax = min(max(dmax, 0.0001), 0.9999)
     mid = min(max(mid, 0.0001), 0.9999)
     power = max(power, 1.0)
     timeconst, dampratio = (float(x) for x in solref)
@@ -694,8 +843,7 @@ def _kbi_const(model, solref, solimp, pos, h):
             a_c * jnp.power(x, power),
             1.0 - b_c * jnp.power(1.0 - x, power),
         )
-    imp = dmin + y * (dmax - dmin)
-    imp = jnp.clip(imp, 0.0001, 0.9999)
+    imp = dmin + y * (dmax - dmin)  # dmin/dmax pre-clamped: already in range
     return k_coef, b_coef, imp
 
 

@@ -101,9 +101,10 @@ class FastRollout:
 
         if not fast_rollout_supported(benv):
             raise ValueError(
-                "model/task not kernel-eligible (needs scalar-joint model, "
-                "Newton+Euler, plane contacts, and task.kernel_hooks); use "
-                "jit_rollout for the general path"
+                "model/task not kernel-eligible (needs the scalar-graph "
+                "model class: Newton+Euler, plane contacts, stateless "
+                "scalar-joint actuators — see ops.scalar_graph.supports — "
+                "and task.kernel_hooks); use jit_rollout for the general path"
             )
         model = benv.model
         self.benv = benv

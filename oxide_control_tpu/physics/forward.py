@@ -69,5 +69,9 @@ def step(model: Model, d: Data) -> Data:
         return _integrate.euler(model, d)
     elif model.opt.integrator == Integrator.RK4:
         return _integrate.rk4(model, d, forward)
+    elif model.opt.integrator == Integrator.IMPLICITFAST:
+        return _integrate.implicit(model, d, fast=True)
+    elif model.opt.integrator == Integrator.IMPLICIT:
+        return _integrate.implicit(model, d, fast=False)
     else:
         raise NotImplementedError(f"integrator {model.opt.integrator}")

@@ -84,6 +84,81 @@ def euler(model: Model, d: Data) -> Data:
     return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
 
 
+def _qderiv_actuation_damping(model: Model, d: Data) -> jax.Array:
+    """Analytic ∂qfrc_smooth/∂qvel restricted to joint damping + affine
+    actuator gain/bias velocity terms — exactly the derivative set MuJoCo's
+    implicitfast integrator uses (Coriolis/RNE derivative excluded)."""
+    from . import smooth as _smooth
+    from ..model import BiasType, GainType
+
+    deriv = -jnp.diag(model.dof_damping)
+    if model.nu == 0:
+        return deriv
+    moments, _ = _smooth.actuator_moments(model, d)
+    ctrl = d.ctrl
+    limited = jnp.asarray(model.actuator_ctrllimited)
+    ctrl = jnp.where(
+        limited,
+        jnp.clip(
+            ctrl, model.actuator_ctrlrange[:, 0], model.actuator_ctrlrange[:, 1]
+        ),
+        ctrl,
+    )
+    actadr = np.array(model.actuator_actadr)
+    if model.na:
+        act_u = d.act[np.maximum(actadr, 0)]
+        force_input = jnp.where(jnp.asarray(actadr >= 0), act_u, ctrl)
+    else:
+        force_input = ctrl
+    gaintype = np.array(model.actuator_gaintype)
+    biastype = np.array(model.actuator_biastype)
+    dgain = jnp.where(
+        jnp.asarray(gaintype == GainType.AFFINE),
+        model.actuator_gainprm[:, 2], 0.0,
+    )
+    dbias = jnp.where(
+        jnp.asarray(biastype == BiasType.AFFINE),
+        model.actuator_biasprm[:, 2], 0.0,
+    )
+    dfdv = dgain * force_input + dbias  # (nu,)
+    return deriv + moments.T @ (dfdv[:, None] * moments)
+
+
+def implicit(model: Model, d: Data, fast: bool = True) -> Data:
+    """Implicit-in-velocity integration (mj_implicit analog):
+
+    (M - h * D) dv = h * (qfrc_smooth + qfrc_constraint)
+
+    where D = ∂qfrc_smooth/∂qvel.  ``fast`` (implicitfast) restricts D to
+    the symmetric damping + actuator-velocity terms and solves with
+    Cholesky; full ``implicit`` additionally includes the (non-symmetric)
+    RNE Coriolis derivative -∂qfrc_bias/∂qvel — computed exactly with
+    jax.jacfwd through the com_vel/rne stages — and solves with LU.
+    """
+    from . import smooth as _smooth
+
+    h = model.opt.timestep
+    deriv = _qderiv_actuation_damping(model, d)
+    qfrc = d.qfrc_smooth + d.qfrc_constraint
+    if fast:
+        mhd = d.qM - h * deriv
+        dv = h * maths.solve_pd_unrolled(mhd, qfrc)
+    else:
+        def bias_of(qvel):
+            dd = d.replace(qvel=qvel)
+            dd = _smooth.com_vel(model, dd)
+            dd = _smooth.rne(model, dd)
+            return dd.qfrc_bias
+
+        dbias = jax.jacfwd(bias_of)(d.qvel)  # (nv, nv)
+        mhd = d.qM - h * (deriv - dbias)
+        dv = h * jnp.linalg.solve(mhd, qfrc)
+    qvel = d.qvel + dv
+    qpos = integrate_pos(model, d.qpos, qvel, h)
+    act = advance_act(model, d.act, d.act_dot, h)
+    return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
+
+
 _RK4_A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
 _RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 

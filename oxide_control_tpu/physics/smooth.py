@@ -402,9 +402,30 @@ def actuator_moments(model: Model, d: Data):
     dtype = d.qpos.dtype
     moments = jnp.zeros((model.nu, model.nv), dtype=dtype)
     lengths = jnp.zeros((model.nu,), dtype=dtype)
+    bdm = None
     for u in range(model.nu):
+        if model.actuator_trntype[u] == TrnType.SITE:
+            # site transmission (no refsite): gear is a 6D wrench in the
+            # site frame; moment = J_site^T (R_site gear[:3]; R_site
+            # gear[3:]) and length = 0 (mj_transmission, mjTRN_SITE)
+            s = model.actuator_trnid[u]
+            b = model.site_bodyid[s]
+            if bdm is None:
+                bdm = body_dof_mask(model)
+            origin = d.subtree_com[model.body_rootid[b]]
+            mask = jnp.asarray(bdm[b], dtype=dtype)[:, None]
+            ang = d.cdof[:, :3] * mask
+            lin = d.cdof[:, 3:] * mask
+            jacp = lin + jnp.cross(
+                ang, jnp.broadcast_to(d.site_xpos[s] - origin, ang.shape)
+            )  # (nv, 3)
+            gear = model.actuator_gear[u]
+            wrench_f = d.site_xmat[s] @ gear[:3]
+            wrench_t = d.site_xmat[s] @ gear[3:]
+            moments = moments.at[u].set(jacp @ wrench_f + ang @ wrench_t)
+            continue
         if model.actuator_trntype[u] != TrnType.JOINT:
-            raise NotImplementedError("only joint transmission supported")
+            raise NotImplementedError("only joint/site transmission supported")
         j = model.actuator_trnid[u]
         jt = model.jnt_type[j]
         qadr, vadr = model.jnt_qposadr[j], model.jnt_dofadr[j]

@@ -100,6 +100,10 @@ class Data:
     qfrc_constraint: jax.Array # (nv,)
     qacc: jax.Array            # (nv,)
 
+    # ----- solver observability (SURVEY.md §5.5) -----
+    solver_cost: jax.Array     # () final constraint-solver cost
+    solver_gradnorm: jax.Array # () |grad| at the returned iterate
+
     @property
     def ncon(self) -> int:
         return self.contact.dist.shape[-1]
@@ -195,6 +199,8 @@ def make_data(model: Model) -> Data:
         nefc_active=jnp.zeros((), dtype=jnp.int32),
         qfrc_constraint=z(nv),
         qacc=z(nv),
+        solver_cost=jnp.zeros((), dtype=dtype),
+        solver_gradnorm=jnp.zeros((), dtype=dtype),
     )
 
 

@@ -62,6 +62,38 @@ class _Cartpole:
     def done(self, model: Model, data: Data, obs):
         return data.time > self.time_limit - 1e-6
 
+    def kernel_hooks(self, model: Model):
+        """In-kernel env layer for the Pallas rollout megakernel: the
+        reward reads qpos/qvel/ctrl only; swingup resets target the
+        pole-down pose (theta = pi) like init_episode."""
+        from ..ops.megakernel import EnvHooks
+
+        slider, hinge = self._slider, self._hinge
+
+        def reward(q, v, ctrl):
+            upright = (jnp.cos(q[hinge]) + 1.0) / 2.0
+            centered = (1.0 + rewards.tolerance(q[slider], margin=2.0)) / 2.0
+            small_control = (4.0 + rewards.tolerance(
+                ctrl[0], margin=1.0, value_at_margin=0.0, sigmoid="quadratic",
+            )) / 5.0
+            small_velocity = (1.0 + rewards.tolerance(v[1], margin=5.0)) / 2.0
+            return upright * small_control * small_velocity * centered
+
+        qpos0 = np.asarray(jax.device_get(model.qpos0)).copy()
+        mask = np.full(model.nq, 0.01)
+        if self.swing_up:
+            qpos0[hinge] = np.pi
+        else:
+            mask[slider] = 0.1
+            mask[hinge] = 0.034
+        return EnvHooks(
+            reward=reward,
+            time_limit=self.time_limit,
+            reset_noise=1.0,  # per-coordinate amplitude carried by the mask
+            reset_mask=mask,
+            reset_qpos0=qpos0,
+        )
+
 
 def balance(model: Model | None = None, dtype=None, **kw):
     model = model if model is not None else load_asset("cartpole", dtype=dtype or np.float64)

@@ -71,6 +71,63 @@ class _Humanoid:
     def done(self, model: Model, data: Data, obs):
         return data.time > self.time_limit - 1e-6
 
+    def kernel_hooks(self, model: Model):
+        """In-kernel env layer for the Pallas rollout megakernel.
+
+        The torso is the free root, so its world pose IS qpos[0:7]: head
+        height and torso uprightness come straight from the root quaternion
+        (head offset (0, 0, 0.19) in the torso frame; m22 = 1 - 2(x^2+y^2)),
+        no FK needed.  Reset randomization approximates init_episode with
+        uniform +-0.01 noise on non-quaternion coordinates and zero qvel."""
+        from ..ops.megakernel import EnvHooks
+
+        head_b = model.name2id("body", "head")
+        head_off_z = float(np.asarray(jax.device_get(model.body_pos))[head_b][2])
+        move_speed = self.move_speed
+
+        def reward(q, v, ctrl):
+            w, x, y, z = q[3], q[4], q[5], q[6]
+            n2 = w * w + x * x + y * y + z * z
+            m22 = 1.0 - 2.0 * (x * x + y * y) / n2  # torso z-axis . world z
+            head_height = q[2] + head_off_z * m22
+            standing = rewards.tolerance(
+                head_height, bounds=(_STAND_HEIGHT, jnp.inf),
+                margin=_STAND_HEIGHT / 4,
+            )
+            upright = rewards.tolerance(
+                m22, bounds=(0.9, jnp.inf), margin=1.9,
+                value_at_margin=0.0, sigmoid="linear",
+            )
+            stand_reward = standing * upright
+            sc = sum(
+                rewards.tolerance(c, margin=1.0, value_at_margin=0.0,
+                                  sigmoid="quadratic")
+                for c in ctrl
+            ) / len(ctrl)
+            small_control = (4.0 + sc) / 5.0
+            if move_speed == 0:
+                dont_move = 0.5 * (
+                    rewards.tolerance(v[0], margin=2.0)
+                    + rewards.tolerance(v[1], margin=2.0)
+                )
+                return small_control * stand_reward * dont_move
+            horiz = jnp.sqrt(v[0] * v[0] + v[1] * v[1])
+            move = rewards.tolerance(
+                horiz, bounds=(move_speed, jnp.inf), margin=move_speed,
+                value_at_margin=0.0, sigmoid="linear",
+            )
+            move = (5.0 * move + 1.0) / 6.0
+            return small_control * stand_reward * move
+
+        mask = np.ones(model.nq)
+        mask[3:7] = 0.0  # keep the root quaternion exactly at identity
+        return EnvHooks(
+            reward=reward,
+            time_limit=self.time_limit,
+            reset_noise=0.01,
+            reset_mask=mask,
+        )
+
 
 def _make(speed):
     def factory(model: Model | None = None, dtype=None, **kw):

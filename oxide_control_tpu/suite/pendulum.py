@@ -38,6 +38,29 @@ class SwingUp:
     def done(self, model: Model, data: Data, obs):
         return data.time > self.time_limit - 1e-6
 
+    def kernel_hooks(self, model: Model):
+        """In-kernel env layer for the Pallas rollout megakernel: reward =
+        tolerance(cos(theta), (0.95, 1), margin=1.95); resets randomize the
+        hinge uniformly over [-pi, pi] like init_episode."""
+        from ..ops.megakernel import EnvHooks
+        import numpy as np
+
+        qadr = self._hinge_qadr
+
+        def reward(q, v, ctrl):
+            return rewards.tolerance(
+                jnp.cos(q[qadr]), bounds=(0.95, 1.0), margin=1.95
+            )
+
+        mask = np.zeros(model.nq)
+        mask[qadr] = np.pi
+        return EnvHooks(
+            reward=reward,
+            time_limit=self.time_limit,
+            reset_noise=1.0,
+            reset_mask=mask,
+        )
+
 
 def swingup(model: Model | None = None, dtype=None, **kwargs):
     import numpy as np

@@ -62,6 +62,48 @@ class _Walker:
     def done(self, model: Model, data: Data, obs):
         return data.time > self.time_limit - 1e-6
 
+    def kernel_hooks(self, model: Model):
+        """In-kernel env layer for the Pallas rollout megakernel.
+
+        The torso pose follows from the root coordinates directly: height
+        = 1.3 + qpos[rootz] (slides are world-aligned; the rooty hinge is
+        anchored at the body origin) and xmat[2,2] = cos(qpos[rooty]) —
+        same expressions the general reward evaluates through FK.  Reset
+        randomization approximates randomize_limited_joints with uniform
+        noise around qpos0 on the limited joints and zero qvel."""
+        from ..ops.megakernel import EnvHooks
+
+        move_speed = self.move_speed
+
+        def reward(q, v, ctrl):
+            torso_height = 1.3 + q[0]
+            torso_upright = jnp.cos(q[2])
+            standing = rewards.tolerance(
+                torso_height, bounds=(_STAND_HEIGHT, jnp.inf),
+                margin=_STAND_HEIGHT / 2,
+            )
+            upright = (1.0 + torso_upright) / 2.0
+            stand = (3.0 * standing + upright) / 4.0
+            if move_speed == 0:
+                return stand
+            move = rewards.tolerance(
+                v[1], bounds=(move_speed, jnp.inf),
+                margin=move_speed / 2, value_at_margin=0.5, sigmoid="linear",
+            )
+            return stand * (5.0 * move + 1.0) / 6.0
+
+        mask = np.zeros(model.nq)
+        for j in range(model.njnt):
+            if model.jnt_limited[j]:
+                rng_j = np.asarray(jax.device_get(model.jnt_range))[j]
+                mask[model.jnt_qposadr[j]] = 0.05 * float(rng_j[1] - rng_j[0])
+        return EnvHooks(
+            reward=reward,
+            time_limit=self.time_limit,
+            reset_noise=1.0,  # amplitude carried per-coordinate by the mask
+            reset_mask=mask,
+        )
+
 
 def _make(speed):
     def factory(model: Model | None = None, dtype=None, **kw):

@@ -118,3 +118,117 @@ EULER_ORIENT = """
   </worldbody>
 </mujoco>
 """
+
+# two-link pendulum welded to a free ball: exercises all 6 weld rows
+WELD_PENDULUM = """
+<mujoco model="weld_pendulum">
+  <option timestep="0.002"/>
+  <worldbody>
+    <body name="a" pos="0 0 1">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.8"/>
+      <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.02" mass="1"/>
+      <body name="b" pos="0.3 0 0">
+        <joint name="j2" type="hinge" axis="1 0 0" damping="0.8"/>
+        <geom type="capsule" fromto="0 0 0 0 0.3 0" size="0.02" mass="1"/>
+      </body>
+    </body>
+    <body name="c" pos="0.5 0.5 1">
+      <joint name="j3" type="ball" damping="0.5"/>
+      <geom type="capsule" fromto="0 0 0 0 0 -0.3" size="0.02" mass="1"/>
+    </body>
+  </worldbody>
+  <equality>
+    <weld body1="b" body2="c" anchor="0.05 0.02 -0.1"
+          relpose="0.2 0.2 0 0.9238795 0 0.3826834 0" torquescale="0.7"/>
+  </equality>
+  <actuator>
+    <motor joint="j1" gear="2" ctrlrange="-1 1"/>
+  </actuator>
+</mujoco>
+"""
+
+# weld with default relpose (all-zero quat -> qpos0 relative pose)
+WELD_DEFAULT = """
+<mujoco model="weld_default">
+  <option timestep="0.002"/>
+  <worldbody>
+    <body name="a" pos="0 0 1">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.8"/>
+      <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.02" mass="1"/>
+    </body>
+    <body name="c" pos="0.5 0.5 1.2" euler="0 30 0">
+      <joint name="j3" type="ball" damping="0.5"/>
+      <geom type="capsule" fromto="0 0 0 0 0 -0.3" size="0.02" mass="1"/>
+    </body>
+  </worldbody>
+  <equality>
+    <weld body1="a" body2="c"/>
+  </equality>
+  <actuator>
+    <motor joint="j1" gear="2" ctrlrange="-1 1"/>
+  </actuator>
+</mujoco>
+"""
+
+# limited ball joint swinging under gravity into its limit
+BALL_LIMIT = """
+<mujoco model="ball_limit">
+  <compiler angle="radian"/>
+  <option timestep="0.002"/>
+  <worldbody>
+    <body name="arm" pos="0 0 1">
+      <joint name="swivel" type="ball" range="0 0.5" limited="true" damping="0.02"/>
+      <geom type="capsule" fromto="0 0 0 0.05 0.1 -0.4" size="0.02" mass="0.5"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+# spinning sphere with torsional friction (condim 4)
+SPIN_SPHERE = """
+<mujoco model="spin_sphere">
+  <option timestep="0.002" solver="Newton" iterations="20" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <body name="ball" pos="0 0 0.145">
+      <freejoint/>
+      <geom name="b" type="sphere" size="0.15" mass="1" condim="4"
+            friction="0.8 0.3 0.0001"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+# rolling sphere with full condim 6 (torsional + rolling friction)
+ROLL_SPHERE = """
+<mujoco model="roll_sphere">
+  <option timestep="0.002" solver="Newton" iterations="20" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <body name="ball" pos="0 0 0.145">
+      <freejoint/>
+      <geom name="b" type="sphere" size="0.15" mass="1" condim="6"
+            friction="0.8 0.3 0.05"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+# free body driven by site-transmission thrusters (force + torque wrench)
+SITE_THRUSTER = """
+<mujoco model="site_thruster">
+  <option timestep="0.002"/>
+  <worldbody>
+    <body name="craft" pos="0 0 1">
+      <freejoint/>
+      <geom type="box" size="0.1 0.08 0.04" mass="1.5"/>
+      <site name="nozzle" pos="0.1 0 -0.04" euler="0 20 0"/>
+      <site name="rcs" pos="-0.1 0.05 0"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor site="nozzle" gear="0 0 8 0 0 0" ctrlrange="-1 1"/>
+    <motor site="rcs" gear="1 0 0 0 0.5 0.2" ctrlrange="-1 1"/>
+  </actuator>
+</mujoco>
+"""

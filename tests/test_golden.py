@@ -213,3 +213,128 @@ def test_frictionloss_disable_flag():
         '<flag frictionloss="disable"/></option>',
     )
     compare(xml, 500, 7, 1e-8)
+
+
+def test_weld_equality():
+    """Weld equality (6 rows: 3 translation + 3 rotation with torquescale)
+    vs MuJoCo, including a ball joint on the welded body."""
+    # stiff equality rows (k ~ 2.8e3) amplify sub-ULP solver differences
+    # exponentially, so compare in re-synced windows (single-step parity is
+    # exact: aref/qacc match MuJoCo to 1e-10 at synced states)
+    compare_windowed(fixtures.WELD_PENDULUM, 300, 25, 9, 1e-6,
+                     ctrl_scale=0.3, vel_tol=1e-4)
+
+
+def test_weld_default_relpose():
+    """All-zero relpose quat must resolve to the qpos0 relative pose
+    (MuJoCo compiler semantics)."""
+    compare_windowed(fixtures.WELD_DEFAULT, 300, 25, 10, 1e-6,
+                     ctrl_scale=0.3, vel_tol=1e-4)
+
+
+def test_ball_joint_limit():
+    """Limited ball joint: |rotation angle| row with J = -axis."""
+    init = (
+        np.array([1.0, 0, 0, 0]),
+        np.array([2.0, -1.5, 1.0]),  # swing hard into the 0.5 rad limit
+    )
+    compare(fixtures.BALL_LIMIT, 500, 11, 1e-7, init=init, vel_tol=1e-5)
+
+
+def test_implicitfast_velocity_actuator():
+    """implicitfast: (M - h*D) dv = h*qfrc with D = damping + actuator
+    velocity-gain terms; a velocity servo makes D differ from plain
+    damping, distinguishing this from the Euler eulerdamp branch."""
+    xml = fixtures.PENDULUM.replace(
+        '<option timestep="0.002"', '<option integrator="implicitfast" timestep="0.002"'
+    ).replace(
+        '<motor name="torque" joint="hinge" gear="1.5" ctrlrange="-1 1"/>',
+        '<velocity name="servo" joint="hinge" kv="3.0" ctrlrange="-1 1"/>',
+    )
+    compare(xml, 1000, 12, 1e-8)
+
+
+def test_implicitfast_cheetah_like():
+    """implicitfast on a contact-rich model (walker fixture)."""
+    xml = fixtures.PLANAR_WALKER.replace(
+        '<option timestep="0.002" solver="CG" iterations="30" tolerance="0"/>',
+        '<option timestep="0.002" integrator="implicitfast" solver="CG" '
+        'iterations="30" tolerance="0"/>',
+    )
+    compare(xml, 500, 13, 1e-4, vel_tol=1e-2)
+
+
+def test_implicit_full():
+    """Full implicit: adds the RNE Coriolis derivative (exact jacfwd) and
+    an LU solve; the ball pendulum has strong gyroscopic coupling."""
+    xml = fixtures.BALL_JOINT.replace(
+        '<option timestep="0.002"/>',
+        '<option timestep="0.002" integrator="implicit"/>',
+    )
+    init = (np.array([1.0, 0, 0, 0]), np.array([3.0, -2.0, 4.0]))
+    compare(xml, 1000, 14, 1e-8, init=init)
+
+
+def test_condim4_torsional():
+    """condim 4: torsional friction rows (rotation about the normal) spin
+    down a twirling sphere; 6 pyramid rows per contact."""
+    init = (
+        np.array([0.0, 0.0, 0.145, 1, 0, 0, 0]),
+        np.array([0.2, 0.0, 0.0, 0.0, 0.0, 8.0]),  # fast spin about z
+    )
+    compare(fixtures.SPIN_SPHERE, 800, 15, 1e-6, init=init, vel_tol=1e-4)
+
+
+def test_condim6_rolling():
+    """condim 6: rolling friction rows decay a rolling sphere; 10 pyramid
+    rows per contact."""
+    init = (
+        np.array([0.0, 0.0, 0.145, 1, 0, 0, 0]),
+        np.array([1.5, -0.5, 0.0, 2.0, 6.0, 3.0]),
+    )
+    compare(fixtures.ROLL_SPHERE, 800, 16, 1e-6, init=init, vel_tol=1e-4)
+
+
+_ELLIPTIC_SPHERE = """
+<mujoco>
+  <option cone="elliptic" impratio="{ir}" solver="{solver}" iterations="30"
+          tolerance="0" timestep="0.002"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 .1" friction="0.4 0.1 0.01"/>
+    <body pos="0 0 0.145">
+      <freejoint/>
+      <geom name="ball" type="sphere" size="0.15" mass="1"
+            friction="0.4 0.3 0.05" condim="{condim}"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_elliptic_cone_newton():
+    """Elliptic friction cone (condim 6, impratio 2) under Newton: the
+    cone force is the D^-1-metric projection onto the friction cone; all
+    three zones (quadratic/cone/zero) are exercised by a bouncing rolling
+    sphere.  Single-state qacc parity with MuJoCo is 1e-13."""
+    xml = _ELLIPTIC_SPHERE.format(ir=2.0, solver="Newton", condim=6)
+    init = (
+        np.array([0.0, 0.0, 0.3, 1, 0, 0, 0]),
+        np.array([1.5, -0.5, 0.0, 2.0, 6.0, 3.0]),
+    )
+    compare(xml, 800, 17, 1e-6, init=init, vel_tol=1e-4)
+
+
+def test_elliptic_cone_cg_condim3():
+    """Elliptic condim 3 under the CG solver (bisection line search)."""
+    xml = _ELLIPTIC_SPHERE.format(ir=1.0, solver="CG", condim=3)
+    init = (
+        np.array([0.0, 0.0, 0.2, 1, 0, 0, 0]),
+        np.array([1.0, 0.5, 0.0, 2.0, -1.0, 0.5]),
+    )
+    compare(xml, 500, 18, 1e-5, init=init, vel_tol=1e-3)
+
+
+def test_site_transmission():
+    """Site-transmission actuators (mjTRN_SITE, no refsite): the 6D gear
+    wrench acts in the site frame through the site Jacobian."""
+    compare(fixtures.SITE_THRUSTER, 600, 19, 1e-7, vel_tol=1e-5)

@@ -119,7 +119,72 @@ def test_fast_rollout_supported_predicate():
     assert rmod.fast_rollout_supported(
         suite.load_batched("cheetah", "run", 8, dtype=np.float32)
     )
-    # humanoid: free joint -> scalar-graph class excluded
-    assert not rmod.fast_rollout_supported(
-        suite.load_batched("humanoid", "stand", 8, dtype=np.float32)
+    assert rmod.fast_rollout_supported(
+        suite.load_batched("walker", "walk", 8, dtype=np.float32)
     )
+    # free joint (quaternion FK + manifold integration) is kernel-eligible
+    assert rmod.fast_rollout_supported(
+        suite.load_batched("humanoid", "run", 8, dtype=np.float32)
+    )
+    # RK4 runs as 4 chained forward passes in the kernel
+    assert rmod.fast_rollout_supported(
+        suite.load_batched("cartpole", "balance", 8, dtype=np.float32)
+    )
+    assert rmod.fast_rollout_supported(
+        suite.load_batched("pendulum", "swingup", 8, dtype=np.float32)
+    )
+
+
+def test_kernel_hooks_reward_parity():
+    """The in-kernel reward (EnvHooks.reward on qpos/qvel/ctrl lists) must
+    equal task.reward evaluated through the general FK pipeline, for every
+    kernel-eligible suite task.  This is the piece the hopper kernel test
+    cannot cover: task-specific rewards that reconstruct body poses (head
+    height, torso uprightness) from the root coordinates directly.
+
+    (A full humanoid megakernel interpret run is exact but takes ~10 min in
+    the HLO interpreter, so the kernel wrapper itself is validated on the
+    small hopper model above and on real TPU by bench.py.)"""
+    from oxide_control_tpu import suite
+    from oxide_control_tpu.physics import forward as fwd
+
+    rng = np.random.default_rng(11)
+    for domain, task_name in (
+        ("cheetah", "run"), ("walker", "walk"), ("walker", "stand"),
+        ("humanoid", "stand"), ("humanoid", "run"),
+        ("cartpole", "balance"), ("cartpole", "swingup"),
+        ("pendulum", "swingup"),
+    ):
+        benv = suite.load_batched(domain, task_name, 16, dtype=np.float64)
+        model, task = benv.model, benv.task
+        hooks = task.kernel_hooks(model)
+
+        data, _ = jax.jit(benv.reset)(jax.random.PRNGKey(6))
+        # scatter states: random joints + velocities (valid root quats stay
+        # near identity via small perturbations, as reset produces them)
+        qpos = np.asarray(data.qpos) + rng.uniform(-0.2, 0.2, data.qpos.shape)
+        qvel = rng.uniform(-2.0, 2.0, data.qvel.shape)
+        ctrl = rng.uniform(-1.0, 1.0, (16, model.nu))
+        dB = data.replace(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel))
+        dB = jax.jit(jax.vmap(lambda dd: fwd.forward(model, dd)))(dB)
+
+        def task_reward(dd, c):
+            obs = task.observe(model, dd)
+            return task.reward(model, dd, obs, c)
+
+        r_general = jax.vmap(task_reward)(dB, jnp.asarray(ctrl))
+        # normalize the root quaternion the way forward() does before
+        # handing coordinates to the hooks (kernel states keep unit quats)
+        q_lists = [dB.qpos[:, i] for i in range(model.nq)]
+        if domain == "humanoid":
+            qn = np.asarray(dB.qpos[:, 3:7])
+            qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+            for i in range(4):
+                q_lists[3 + i] = jnp.asarray(qn[:, i])
+        v_lists = [dB.qvel[:, i] for i in range(model.nv)]
+        c_lists = [jnp.asarray(ctrl[:, i]) for i in range(model.nu)]
+        r_hooks = hooks.reward(q_lists, v_lists, c_lists)
+        np.testing.assert_allclose(
+            np.asarray(r_hooks), np.asarray(r_general), rtol=0, atol=1e-9,
+            err_msg=f"{domain}/{task_name}",
+        )

@@ -208,3 +208,9 @@ def test_damper_requires_nonneg_ctrlrange():
         load_model_from_xml(tmpl.format(attr='ctrlrange="-1 1"'))
     m = load_model_from_xml(tmpl.format(attr='ctrlrange="0 1"'))
     assert m.actuator_ctrllimited[0]
+
+
+def test_oracle_version():
+    """The golden suite targets the 3.10 oracle semantics documented in
+    tests/ORACLE.md; fail loudly if the environment swaps the wheel."""
+    assert mujoco.__version__.startswith("3.10"), mujoco.__version__

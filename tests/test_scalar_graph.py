@@ -51,10 +51,84 @@ def test_walker_scalar_graph():
     assert _rollout_pair("walker") < 1e-6
 
 
+def test_humanoid_scalar_graph():
+    """Free-joint class: quaternion FK, free-dof CRB/RNE, manifold Euler.
+    Contact-rich start (feet on the floor) so the Newton solve is live."""
+    m = load_asset("humanoid")
+    assert sg.supports(m)
+    step_s = sg.build_step(m)
+    B = 4
+    rng = np.random.default_rng(3)
+    qpos = np.tile(np.asarray(m.qpos0), (B, 1))
+    qpos[:, 2] -= 0.12  # feet into contact
+    qpos[:, 7:] += rng.uniform(-0.1, 0.1, (B, m.nq - 7))
+    qpos[:, 3:7] += rng.uniform(-0.05, 0.05, (B, 4))  # denormalized quat:
+    # both paths normalize on read, so this exercises the normalization too
+    qvel = rng.uniform(-0.5, 0.5, (B, m.nv))
+    ctrl = rng.uniform(-1, 1, (B, m.nu))
+    ws = np.zeros((B, m.nv))
+
+    d = make_data(m)
+    dB = jax.vmap(
+        lambda q, v, w, c: d.replace(qpos=q, qvel=v, qacc_warmstart=w, ctrl=c)
+    )(qpos, qvel, ws, ctrl)
+    step_ref = jax.jit(jax.vmap(lambda x: fwd.step(m, x)))
+
+    q_l = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
+    v_l = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
+    w_l = [jnp.asarray(ws[:, i]) for i in range(m.nv)]
+    c_l = [jnp.asarray(ctrl[:, i]) for i in range(m.nu)]
+
+    maxerr = maxerr_v = 0.0
+    for _ in range(10):
+        dB = step_ref(dB)
+        q_l, v_l, w_l = step_s(q_l, v_l, w_l, c_l)
+        qp = np.stack([np.asarray(x) for x in q_l], axis=1)
+        qv = np.stack([np.asarray(x) for x in v_l], axis=1)
+        maxerr = max(maxerr, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
+        maxerr_v = max(maxerr_v, float(np.max(np.abs(qv - np.asarray(dB.qvel)))))
+    assert maxerr < 1e-6, maxerr
+    assert maxerr_v < 1e-5, maxerr_v
+
+
 def test_supports_predicate():
     assert sg.supports(load_asset("cheetah"))
     assert sg.supports(load_asset("walker"))
-    assert sg.supports(load_asset("cartpole")) is False  # RK4 integrator
+    assert sg.supports(load_asset("cartpole"))  # RK4 via chained forwards
+    assert sg.supports(load_asset("pendulum"))
+
+
+def test_cartpole_rk4_scalar_graph():
+    """RK4 in the scalar graph (4 chained forward passes) must match the
+    general pipeline's mj_RungeKutta."""
+    m = load_asset("cartpole")
+    assert sg.supports(m)
+    step_s = sg.build_step(m)
+    B = 8
+    rng = np.random.default_rng(5)
+    qpos = rng.uniform(-0.5, 0.5, (B, m.nq))
+    qvel = rng.uniform(-1, 1, (B, m.nv))
+    ctrl = rng.uniform(-1, 1, (B, m.nu))
+    ws = np.zeros((B, m.nv))
+
+    d = make_data(m)
+    dB = jax.vmap(
+        lambda q, v, w, c: d.replace(qpos=q, qvel=v, qacc_warmstart=w, ctrl=c)
+    )(qpos, qvel, ws, ctrl)
+    step_ref = jax.jit(jax.vmap(lambda x: fwd.step(m, x)))
+
+    q_l = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
+    v_l = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
+    w_l = [jnp.asarray(ws[:, i]) for i in range(m.nv)]
+    c_l = [jnp.asarray(ctrl[:, i]) for i in range(m.nu)]
+
+    maxerr = 0.0
+    for _ in range(20):
+        dB = step_ref(dB)
+        q_l, v_l, w_l = step_s(q_l, v_l, w_l, c_l)
+        qp = np.stack([np.asarray(x) for x in q_l], axis=1)
+        maxerr = max(maxerr, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
+    assert maxerr < 1e-8, maxerr
 
 
 def test_supports_rejects_stateful_actuators():
