@@ -219,6 +219,7 @@ class _Compiler:
         self.sites: list[dict] = []
         self.actuators: list[dict] = []
         self.equalities: list[dict] = []
+        self.tendons: list[dict] = []
         self.excludes: list[tuple[str, str]] = []
         self.explicit_pairs: list[dict] = []
 
@@ -300,9 +301,66 @@ class _Compiler:
             )
         )
         self._walk_body(world, 0, "main")
+        self._parse_tendons()
         self._parse_actuators()
         self._parse_equality()
         self._parse_contact()
+
+    # -- tendons ------------------------------------------------------------
+
+    def _parse_tendons(self):
+        t_root = self.root.find("tendon")
+        if t_root is None:
+            return
+        for elem in t_root:
+            if elem.tag != "fixed":
+                raise UnsupportedFeatureError(
+                    f"only fixed tendons are supported, got <{elem.tag}>"
+                )
+            # MJCF defaults store tendon attributes under <tendon>, while
+            # the element tag here is <fixed>
+            cls = elem.get("class", "main")
+            attrs = dict(self.defaults.get(cls, {}).get("tendon", {}))
+            attrs.update(elem.attrib)
+            joints, coefs = [], []
+            for sub in elem:
+                if sub.tag != "joint":
+                    raise UnsupportedFeatureError(
+                        f"unsupported fixed-tendon wrap <{sub.tag}>"
+                    )
+                joints.append(sub.attrib["joint"])
+                coefs.append(float(sub.attrib.get("coef", 0.0)))
+            rng = _attr_floats(attrs, "range", [0, 0], 2)
+            has_rng = "range" in attrs and (rng[0] != 0 or rng[1] != 0)
+            if "limited" in attrs:
+                limited = attrs["limited"] in ("true", "1")
+            else:
+                limited = bool(has_rng) if self.autolimits else False
+            # springlength: one value = exact rest length; two = dead band;
+            # -1 means "use the qpos0 length" (resolved in _set_const)
+            sl = _floats(attrs["springlength"]) if "springlength" in attrs \
+                else np.array([-1.0])
+            if sl.size == 1:
+                sl = np.array([sl[0], sl[0]])
+            self.tendons.append(
+                dict(
+                    name=attrs.get("name", f"tendon{len(self.tendons)}"),
+                    joints=joints, coefs=coefs, limited=limited, range=rng,
+                    stiffness=_attr_float(attrs, "stiffness", 0.0),
+                    damping=_attr_float(attrs, "damping", 0.0),
+                    frictionloss=_attr_float(attrs, "frictionloss", 0.0),
+                    springlength=sl,
+                    margin=_attr_float(attrs, "margin", 0.0),
+                    solref_lim=_attr_floats(attrs, "solreflimit",
+                                            _DEFAULT_SOLREF, 2),
+                    solimp_lim=_attr_floats(attrs, "solimplimit",
+                                            _DEFAULT_SOLIMP, 5),
+                    solref_fri=_attr_floats(attrs, "solreffriction",
+                                            _DEFAULT_SOLREF, 2),
+                    solimp_fri=_attr_floats(attrs, "solimpfriction",
+                                            _DEFAULT_SOLIMP, 5),
+                )
+            )
 
     def _walk_body(self, elem: ET.Element, body_id: int, cls: str):
         for child in elem:
@@ -488,6 +546,8 @@ class _Compiler:
                 raise UnsupportedFeatureError(f"unsupported actuator <{kind}>")
             if "joint" in attrs:
                 trntype, target = TrnType.JOINT, attrs["joint"]
+            elif "tendon" in attrs:
+                trntype, target = TrnType.TENDON, attrs["tendon"]
             elif "site" in attrs:
                 if "refsite" in attrs:
                     raise UnsupportedFeatureError(
@@ -1029,7 +1089,24 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         site=tuple(s["name"] for s in c.sites),
         actuator=tuple(a["name"] for a in c.actuators),
         equality=tuple(e["name"] for e in c.equalities),
+        tendon=tuple(t["name"] for t in c.tendons),
     )
+
+    # ----- tendons (fixed) -----
+    ntendon = len(c.tendons)
+    tendon_adr, tendon_num, wrap_jnt, wrap_coef = [], [], [], []
+    for t in c.tendons:
+        tendon_adr.append(len(wrap_jnt))
+        tendon_num.append(len(t["joints"]))
+        for jname, coef in zip(t["joints"], t["coefs"]):
+            try:
+                jid = names.joint.index(jname)
+            except ValueError:
+                raise ModelError(f"tendon references unknown joint {jname!r}")
+            if c.joints[jid]["type"] not in (JointType.HINGE, JointType.SLIDE):
+                raise ModelError("fixed tendons couple scalar joints only")
+            wrap_jnt.append(jid)
+            wrap_coef.append(coef)
 
     # ----- actuators -----
     def _joint_id(name):
@@ -1044,11 +1121,20 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         except ValueError:
             raise ModelError(f"actuator references unknown site {name!r}")
 
-    actuator_trnid = [
-        _joint_id(a["target"]) if a["trntype"] == TrnType.JOINT
-        else _site_id(a["target"])
-        for a in c.actuators
-    ]
+    def _tendon_id(name):
+        try:
+            return names.tendon.index(name)
+        except ValueError:
+            raise ModelError(f"actuator references unknown tendon {name!r}")
+
+    def _trnid(a):
+        if a["trntype"] == TrnType.JOINT:
+            return _joint_id(a["target"])
+        if a["trntype"] == TrnType.TENDON:
+            return _tendon_id(a["target"])
+        return _site_id(a["target"])
+
+    actuator_trnid = [_trnid(a) for a in c.actuators]
 
     # ----- equality id resolution -----
     eq_obj1id, eq_obj2id = [], []
@@ -1118,8 +1204,24 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
 
     model = Model(
         nq=nq, nv=nv, nu=nu, na=na, nbody=nbody, njnt=njnt, ngeom=ngeom,
-        nsite=nsite, neq=neq, nmocap=nmocap,
+        nsite=nsite, neq=neq, nmocap=nmocap, ntendon=ntendon,
         opt=opt,
+        tendon_adr=tuple(tendon_adr),
+        tendon_num=tuple(tendon_num),
+        tendon_limited=tuple(bool(t["limited"]) for t in c.tendons),
+        tendon_wrap_jnt=tuple(wrap_jnt),
+        tendon_range=f(np.array([t["range"] for t in c.tendons]).reshape(ntendon, 2)),
+        tendon_stiffness=f([t["stiffness"] for t in c.tendons]),
+        tendon_damping=f([t["damping"] for t in c.tendons]),
+        tendon_frictionloss=f([t["frictionloss"] for t in c.tendons]),
+        tendon_lengthspring=f(np.array([t["springlength"] for t in c.tendons]).reshape(ntendon, 2)),
+        tendon_margin=f([t["margin"] for t in c.tendons]),
+        tendon_solref_lim=f(np.array([t["solref_lim"] for t in c.tendons]).reshape(ntendon, 2)),
+        tendon_solimp_lim=f(np.array([t["solimp_lim"] for t in c.tendons]).reshape(ntendon, 5)),
+        tendon_solref_fri=f(np.array([t["solref_fri"] for t in c.tendons]).reshape(ntendon, 2)),
+        tendon_solimp_fri=f(np.array([t["solimp_fri"] for t in c.tendons]).reshape(ntendon, 5)),
+        tendon_invweight0=f(np.zeros(ntendon)),
+        tendon_wrap_coef=f(wrap_coef),
         body_parentid=tuple(body_parentid),
         body_rootid=tuple(body_rootid),
         body_weldid=tuple(body_weldid),
@@ -1389,9 +1491,32 @@ def _set_const(model: Model) -> Model:
         body_invweight0[b, 0] = np.trace(a_t) / 3.0
         body_invweight0[b, 1] = np.trace(a_r) / 3.0
 
+    # fixed tendons: invweight0 = J M^-1 J^T at qpos0; springlength < 0
+    # resolves to the qpos0 tendon length (MuJoCo compiler semantics)
+    extra = {}
+    if model.ntendon:
+        qpos0 = np.asarray(model.qpos0, dtype=np.float64)
+        coefs = np.asarray(model.tendon_wrap_coef, dtype=np.float64)
+        tj = np.zeros((model.ntendon, nv))
+        len0 = np.zeros(model.ntendon)
+        for t in range(model.ntendon):
+            adr, num = model.tendon_adr[t], model.tendon_num[t]
+            for w in range(adr, adr + num):
+                j = model.tendon_wrap_jnt[w]
+                tj[t, model.jnt_dofadr[j]] += coefs[w]
+                len0[t] += coefs[w] * qpos0[model.jnt_qposadr[j]]
+        extra["tendon_invweight0"] = np.einsum(
+            "ti,ij,tj->t", tj, m_inv, tj
+        )
+        spring = np.asarray(model.tendon_lengthspring, dtype=np.float64).copy()
+        spring[spring[:, 0] < 0, 0] = len0[spring[:, 0] < 0]
+        spring[spring[:, 1] < 0, 1] = len0[spring[:, 1] < 0]
+        extra["tendon_lengthspring"] = spring
+
     return model.replace(
         dof_invweight0=np.asarray(dof_invweight0),
         body_invweight0=np.asarray(body_invweight0),
+        **extra,
     )
 
 

@@ -62,8 +62,10 @@ class ConeType(enum.IntEnum):
 
 
 class TrnType(enum.IntEnum):
+    # values match MuJoCo's mjtTrn
     JOINT = 0
-    SITE = 3
+    TENDON = 3
+    SITE = 4
 
 
 class GainType(enum.IntEnum):
@@ -134,6 +136,7 @@ class Model:
     nsite: int = static_field()
     neq: int = static_field()
     nmocap: int = static_field()
+    ntendon: int = static_field()
 
     opt: Option = static_field()
 
@@ -184,6 +187,13 @@ class Model:
     eq_obj1id: tuple = static_field()
     eq_obj2id: tuple = static_field()
     eq_active0: tuple = static_field()
+
+    # fixed tendons (spatial tendons are not supported): per tendon, the
+    # coupled scalar joints and coefficients live in the wrap arrays
+    tendon_adr: tuple = static_field()      # start into wrap arrays
+    tendon_num: tuple = static_field()      # joints per tendon
+    tendon_limited: tuple = static_field()
+    tendon_wrap_jnt: tuple = static_field() # (nwrap,) joint ids
 
     # candidate contact pairs, grouped by (type1, type2) at compile time:
     # dict-like tuple of (type1, type2, ((g1, g2), ...)) entries
@@ -252,6 +262,19 @@ class Model:
     eq_solref: jax.Array      # (neq, 2)
     eq_solimp: jax.Array      # (neq, 5)
 
+    tendon_range: jax.Array        # (ntendon, 2)
+    tendon_stiffness: jax.Array    # (ntendon,)
+    tendon_damping: jax.Array      # (ntendon,)
+    tendon_frictionloss: jax.Array # (ntendon,)
+    tendon_lengthspring: jax.Array # (ntendon, 2) [lower, upper] rest band
+    tendon_margin: jax.Array       # (ntendon,)
+    tendon_solref_lim: jax.Array   # (ntendon, 2)
+    tendon_solimp_lim: jax.Array   # (ntendon, 5)
+    tendon_solref_fri: jax.Array   # (ntendon, 2)
+    tendon_solimp_fri: jax.Array   # (ntendon, 5)
+    tendon_invweight0: jax.Array   # (ntendon,) J M^-1 J^T at qpos0
+    tendon_wrap_coef: jax.Array    # (nwrap,)
+
     # per-candidate-pair precomputed contact params (flattened group order)
     pair_geom1: jax.Array     # (npair,) int32
     pair_geom2: jax.Array     # (npair,) int32
@@ -305,8 +328,10 @@ class NameTables:
     site: tuple = ()
     actuator: tuple = ()
     equality: tuple = ()
+    tendon: tuple = ()
 
-    _TYPES = ("body", "joint", "geom", "site", "actuator", "equality")
+    _TYPES = ("body", "joint", "geom", "site", "actuator", "equality",
+              "tendon")
 
     def name2id(self, objtype: str, name: str) -> int:
         table = getattr(self, objtype)

@@ -235,7 +235,7 @@ def motion_cross(v, c):
 
 def supports(model: Model) -> bool:
     """True if the scalar-graph fast path can run this model."""
-    if model.neq or model.nmocap:
+    if model.neq or model.nmocap or model.ntendon:
         return False
     if model.na:
         # stateful actuators (filter/integrator/...) need act integration,
@@ -1132,7 +1132,10 @@ def _mat_vec_sym(m_mat, v, nv):
 
 def _linesearch_scalar(rows, jar, jp, d0, sg, n_grow=12, n_bisect=26):
     """Monotone piecewise-linear derivative root find: doubling bracket then
-    bisection (sort-free; kernel-friendly)."""
+    bisection (sort-free; kernel-friendly).  A safeguarded-Newton variant
+    was tried and reverted: segment curvatures differ by ~4 orders of
+    magnitude (contact D ~1e4 vs Gauss slope ~1), so Newton crawls through
+    stiff segments and loses to plain bisection at equal op count."""
 
     def dphi(alpha):
         s = d0 + alpha * sg

@@ -1,0 +1,62 @@
+"""Multi-task suite sharding (BASELINE config 4).
+
+Different tasks have different state shapes, so they cannot share one jit —
+instead the device mesh is partitioned into one sub-mesh per task, each
+task's env batch is sharded over its sub-mesh, and every rollout is
+dispatched asynchronously (XLA queues them concurrently on disjoint device
+groups).  The consumer reduction (per-task mean return) crosses each
+sub-mesh's env axis as an all-reduce; the host-side gather at the end is
+the "rollout consumer" handoff.
+
+On a single host this runs over the virtual CPU mesh the same way it runs
+over a pod slice (tests/test_sharding.py); with jax.distributed the device
+list spans hosts and the sub-meshes ride DCN/ICI.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from ..api.environment import BatchedEnvironment
+from . import mesh as mesh_mod
+from . import rollout as rollout_mod
+
+
+def partition_devices(n_tasks: int, devices=None):
+    """Split the device list into n_tasks contiguous groups (ICI-friendly:
+    neighboring devices stay together)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_tasks > len(devices):
+        # more tasks than devices: groups share devices round-robin
+        return [[devices[i % len(devices)]] for i in range(n_tasks)]
+    per = len(devices) // n_tasks
+    return [
+        list(devices[i * per : (i + 1) * per]) for i in range(n_tasks)
+    ]
+
+
+def multitask_rollout(
+    benvs: list[BatchedEnvironment],
+    rng: jax.Array,
+    num_steps: int,
+    devices=None,
+):
+    """Run every task's sharded rollout concurrently; returns the list of
+    (final_data, mean_return) per task.  Each task's env batch must divide
+    its device-group size."""
+    groups = partition_devices(len(benvs), devices)
+    keys = jax.random.split(rng, len(benvs))
+    pending = []
+    for benv, group, key in zip(benvs, groups, keys):
+        m = mesh_mod.make_env_mesh(devices=np.array(group))
+        data, _ = jax.jit(benv.reset)(key)
+        data = mesh_mod.shard_env_state(m, data)
+        fn = rollout_mod.jit_rollout(benv, num_steps)
+        # dispatch is async: rollouts on disjoint device groups overlap
+        data, _traj, mean_return = fn(data, key)
+        pending.append((data, mean_return))
+    # consumer handoff: host gather of the per-task returns
+    return [(d, float(jax.device_get(r))) for d, r in pending]

@@ -30,8 +30,14 @@ def max_contacts_per_pair(t1: int, t2: int) -> int:
         return 2
     if pair == (GeomType.PLANE, GeomType.BOX):
         return 4
+    if pair == (GeomType.PLANE, GeomType.CYLINDER):
+        return 4
     if pair == (GeomType.CAPSULE, GeomType.CAPSULE):
         return 1
+    if pair == (GeomType.CAPSULE, GeomType.BOX):
+        return 3
+    if pair == (GeomType.BOX, GeomType.BOX):
+        return 8
     return 1
 
 
@@ -202,14 +208,315 @@ def _sphere_box(spos, smat, ssize, bpos, bmat, bsize):
     return dist[None], pos[None], make_frame(n)[None]
 
 
+def _plane_ellipsoid(ppos, pmat, psize, epos, emat, esize):
+    """Single contact at the ellipsoid's support point opposite the plane
+    normal: x = c - R (s^2 a)/sqrt(a^T s^2 a), a = R^T n (matches MuJoCo's
+    mjc_PlaneConvex support exactly, verified numerically)."""
+    n = pmat[:, 2]
+    a = emat.T @ n
+    w = (esize * esize) * a
+    denom = jnp.sqrt(jnp.maximum(jnp.dot(a, w), 1e-20))
+    x = epos - emat @ (w / denom)
+    dist = jnp.dot(n, x - ppos)
+    pos = x - n * (0.5 * dist)
+    return dist[None], pos[None], make_frame(n)[None]
+
+
+def _plane_cylinder(ppos, pmat, psize, cpos, cmat, csize):
+    """Up to 4 contacts (matches MuJoCo's emission pattern, verified
+    empirically): deepest rim point of the lower cap, the two rim points at
+    +-120 degrees on the same cap, and the deepest rim point of the other
+    cap — each gated downstream by its own dist < includemargin, which
+    reproduces the flat (3 contacts) / lying (2) / tilted (1) cases."""
+    n = pmat[:, 2]
+    r, hl = csize[0], csize[1]
+    axis = cmat[:, 2]
+    c = jnp.dot(n, axis)
+    # radial downslope direction (unit, perpendicular to axis)
+    perp = n - c * axis
+    plen = jnp.linalg.norm(perp)
+    # degenerate (axis || n): fall back to the cylinder x axis projected
+    alt = cmat[:, 0] - n * jnp.dot(n, cmat[:, 0])
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt), 1e-12)
+    dir0 = jnp.where(plen > 1e-10, -perp / jnp.maximum(plen, 1e-12), alt)
+    s = jnp.where(c > 0, -1.0, 1.0)  # lower cap along s*axis
+    cap_a = cpos + s * hl * axis
+    cap_b = cpos - s * hl * axis
+    cross = jnp.cross(axis, dir0)
+    dir120 = dir0 * (-0.5) + cross * (jnp.sqrt(3.0) / 2.0)
+    dir240 = dir0 * (-0.5) - cross * (jnp.sqrt(3.0) / 2.0)
+    points = jnp.stack([
+        cap_a + r * dir0,
+        cap_a + r * dir120,
+        cap_a + r * dir240,
+        cap_b + r * dir0,
+    ])
+    dist = points @ n - jnp.dot(n, ppos)
+    pos = points - n[None, :] * (0.5 * dist)[:, None]
+    return dist, pos, jnp.broadcast_to(make_frame(n), (4, 3, 3))
+
+
+def _sphere_cylinder(spos, smat, ssize, cpos, cmat, csize):
+    """Sphere vs solid cylinder: clamp the sphere center into the cylinder
+    (axial to the caps, radial to the side), then sphere-vs-point; centers
+    inside the cylinder push out through the nearest face."""
+    rs = ssize[0]
+    r, hl = csize[0], csize[1]
+    axis = cmat[:, 2]
+    rel = spos - cpos
+    z = jnp.dot(rel, axis)
+    radial = rel - z * axis
+    rd = jnp.linalg.norm(radial)
+    rhat = jnp.where(
+        rd > 1e-12, radial / jnp.maximum(rd, 1e-12), cmat[:, 0]
+    )
+    inside = (jnp.abs(z) < hl) & (rd < r)
+    # outside: closest point on the cylinder surface
+    closest = cpos + jnp.clip(z, -hl, hl) * axis + jnp.minimum(rd, r) * rhat
+    delta = spos - closest
+    dn = jnp.linalg.norm(delta)
+    n_out = jnp.where(dn > 1e-12, delta / jnp.maximum(dn, 1e-12), axis)
+    dist_out = dn - rs
+    # inside: push through the nearest of (side wall, nearer cap)
+    side_pen = r - rd
+    cap_pen = hl - jnp.abs(z)
+    use_cap = cap_pen < side_pen
+    n_in = jnp.where(use_cap, jnp.sign(z) * axis, rhat)
+    dist_in = -(jnp.where(use_cap, cap_pen, side_pen) + rs)
+    dist = jnp.where(inside, dist_in, dist_out)
+    # normal points from geom1 (sphere) toward geom2 (cylinder)
+    n_vec = jnp.where(inside, -n_in, -n_out)
+    pos = spos + n_vec * (rs + 0.5 * dist)
+    return dist[None], pos[None], make_frame(n_vec)[None]
+
+
+def _capsule_box(cpos, cmat, csize, bpos, bmat, bsize):
+    """Capsule vs box: sphere-vs-box at each capsule end plus one at the
+    segment point nearest the box (covers mid-segment edge crossings).
+    Matches MuJoCo's 2-contact emission for the dominant end-sphere cases;
+    mid-segment poses use the same sphere-box contact at the nearest
+    segment point (a MuJoCo-compatible approximation)."""
+    r, hl = csize[0], csize[1]
+    axis = cmat[:, 2]
+    a = cpos - axis * hl
+    b = cpos + axis * hl
+    # nearest segment point to the box (box-local coordinate descent: clamp
+    # the box point to the segment's AABB... use 8 fixed iterations of
+    # alternating closest-point projection, convex so it converges)
+    t = jnp.asarray(0.5, dtype=cpos.dtype)
+    for _ in range(8):
+        p = a + t * (b - a)
+        q_local = jnp.clip(bmat.T @ (p - bpos), -bsize, bsize)
+        q = bpos + bmat @ q_local
+        seg = b - a
+        denom = jnp.maximum(jnp.dot(seg, seg), 1e-12)
+        t = jnp.clip(jnp.dot(q - a, seg) / denom, 0.0, 1.0)
+    mid = a + t * (b - a)
+
+    dists, poss, frames = [], [], []
+    for point in (a, b, mid):
+        d1, p1, f1 = _sphere_box(point, cmat, jnp.stack([r, r, r]), bpos,
+                                 bmat, bsize)
+        dists.append(d1)
+        poss.append(p1)
+        frames.append(f1)
+    dist = jnp.concatenate(dists)
+    # the mid lane only fires when it is strictly deeper than both end
+    # lanes (segment crossing an edge); otherwise it would duplicate an
+    # endpoint contact and double the force relative to MuJoCo
+    redundant = dist[2] >= jnp.minimum(dist[0], dist[1]) - 1e-10
+    dist = dist.at[2].set(jnp.where(redundant, 1e10, dist[2]))
+    return dist, jnp.concatenate(poss), jnp.concatenate(frames)
+
+
+def _box_box(p1, m1, s1, p2, m2, s2):
+    """Box-box narrowphase: SAT over the 6 face axes (edge-cross axes get
+    the ODE-style 0.95 preference factor), then the incident face is
+    clipped against the reference face rectangle.  The clipped polygon has
+    at most 8 vertices = 8 static lanes; candidates are the incident-face
+    corners inside the rectangle, the rectangle corners inside the incident
+    quad, and quad-edge x rect-edge intersections, compacted with top_k.
+    Face-resting configurations reproduce MuJoCo's contact positions and
+    per-vertex depths (verified in tests); an additional deepest-corner
+    fallback covers edge-dominant poses so penetration never goes blind.
+    """
+    dtype = p1.dtype
+    d12 = p2 - p1
+
+    # ----- SAT over face axes -----
+    # axes: columns of m1 (k=0,1,2) and m2 (k=3,4,5)
+    axes = jnp.concatenate([m1.T, m2.T], axis=0)  # (6, 3)
+    r1 = jnp.abs(axes @ m1) @ s1  # (6,) projection radius of box1
+    r2 = jnp.abs(axes @ m2) @ s2
+    sep = jnp.abs(axes @ d12)
+    overlap = r1 + r2 - sep  # (6,) penetration depth per axis
+    k = jnp.argmin(overlap)
+    ref_is_1 = k < 3
+    nref = axes[k]
+    # normal points from the reference box toward the other box
+    sgn = jnp.sign(jnp.where(ref_is_1, jnp.dot(nref, d12),
+                             -jnp.dot(nref, d12)))
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    nref = nref * sgn
+
+    # reference frame quantities (select box1 or box2 as reference)
+    pr = jnp.where(ref_is_1, p1, p2)
+    mr = jnp.where(ref_is_1, m1, m2)
+    sr = jnp.where(ref_is_1, s1, s2)
+    pi_ = jnp.where(ref_is_1, p2, p1)
+    mi = jnp.where(ref_is_1, m2, m1)
+    si = jnp.where(ref_is_1, s2, s1)
+
+    kr = jnp.where(ref_is_1, k, k - 3)
+    # in-plane axes of the reference face (the other two columns):
+    # kr=0 -> (1,2), kr=1 -> (0,2), kr=2 -> (0,1)
+    iu = jnp.where(kr == 0, 1, 0)
+    iv = jnp.where(kr == 2, 1, 2)
+    u = mr[:, iu]
+    v = mr[:, iv]
+    su = sr[iu]
+    sv = sr[iv]
+    face_c = pr + nref * sr[kr]
+
+    # incident face of the other box: outward normal most anti-parallel to n
+    dots = mi.T @ nref  # (3,)
+    ji = jnp.argmax(jnp.abs(dots))
+    jsgn = -jnp.sign(dots[ji])
+    jsgn = jnp.where(jsgn == 0, 1.0, jsgn)
+    inc_n = mi[:, ji] * jsgn
+    inc_c = pi_ + inc_n * si[ji]
+    # the incident face's two edge axes
+    ju = jnp.where(ji == 0, 1, 0)
+    jv = jnp.where(ji == 2, 1, 2)
+    e1 = mi[:, ju] * si[ju]
+    e2 = mi[:, jv] * si[jv]
+    signs = jnp.array([[1, 1], [1, -1], [-1, -1], [-1, 1]], dtype=dtype)
+    corners = inc_c[None, :] + signs[:, :1] * e1[None, :] + signs[:, 1:] * e2[None, :]
+
+    # project to the reference-face 2D frame; h = height above the face
+    rel = corners - face_c[None, :]
+    qu = rel @ u
+    qv = rel @ v
+    qh = rel @ nref
+    quad = jnp.stack([qu, qv], axis=1)  # (4, 2) convex quad, h affine in uv
+
+    # affine h(u, v) = h0 + gu*u + gv*v from three corners
+    du1 = quad[1] - quad[0]
+    du2 = quad[3] - quad[0]
+    dh1 = qh[1] - qh[0]
+    dh2 = qh[3] - qh[0]
+    det = du1[0] * du2[1] - du1[1] * du2[0]
+    safe_det = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    gu = (dh1 * du2[1] - dh2 * du1[1]) / safe_det
+    gv = (dh2 * du1[0] - dh1 * du2[0]) / safe_det
+    h0 = qh[0] - gu * quad[0, 0] - gv * quad[0, 1]
+
+    def h_of(pt):
+        return h0 + gu * pt[..., 0] + gv * pt[..., 1]
+
+    # candidate 1: incident corners inside the rectangle (4)
+    c1_valid = (jnp.abs(qu) <= su + 1e-10) & (jnp.abs(qv) <= sv + 1e-10)
+    c1_pts = quad
+
+    # candidate 2: rectangle corners inside the quad (4)
+    rect = jnp.stack([
+        jnp.stack([su, sv]), jnp.stack([su, -sv]),
+        jnp.stack([-su, -sv]), jnp.stack([-su, sv]),
+    ])
+    # convex quad winding: cross products must share sign
+    def inside_quad(p):
+        c = []
+        for i in range(4):
+            a = quad[i]
+            b = quad[(i + 1) % 4]
+            c.append((b[0] - a[0]) * (p[1] - a[1])
+                     - (b[1] - a[1]) * (p[0] - a[0]))
+        c = jnp.stack(c)
+        return jnp.all(c >= -1e-10) | jnp.all(c <= 1e-10)
+
+    c2_valid = jax.vmap(inside_quad)(rect)
+    c2_pts = rect
+
+    # candidate 3: quad edges x rect edges (16)
+    c3_pts = []
+    c3_valid = []
+    rect_edges = [(rect[i], rect[(i + 1) % 4]) for i in range(4)]
+    for i in range(4):
+        a = quad[i]
+        b = quad[(i + 1) % 4]
+        ab = b - a
+        for (c, dd) in rect_edges:
+            cd = dd - c
+            den = ab[0] * cd[1] - ab[1] * cd[0]
+            safe = jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
+            t = ((c[0] - a[0]) * cd[1] - (c[1] - a[1]) * cd[0]) / safe
+            sly = ((c[0] - a[0]) * ab[1] - (c[1] - a[1]) * ab[0]) / safe
+            ok = (jnp.abs(den) > 1e-12) & (t >= 0) & (t <= 1) & (sly >= 0) & (sly <= 1)
+            c3_pts.append(a + t * ab)
+            c3_valid.append(ok)
+    c3_pts = jnp.stack(c3_pts)
+    c3_valid = jnp.stack(c3_valid)
+
+    pts = jnp.concatenate([c1_pts, c2_pts, c3_pts])       # (24, 2)
+    valid = jnp.concatenate([c1_valid, c2_valid, c3_valid])
+    # dedup coincident candidates (a corner exactly on the rectangle edge
+    # appears as inside-corner AND edge intersection; a perfectly aligned
+    # stack triples every vertex) — keep the first valid representative
+    diff = pts[:, None, :] - pts[None, :, :]
+    close = jnp.sum(diff * diff, axis=-1) < 1e-16
+    earlier = jnp.tril(jnp.ones((24, 24), dtype=bool), k=-1)
+    dup = jnp.any(close & earlier & valid[None, :], axis=1)
+    valid = valid & ~dup
+    hs = h_of(pts)
+
+    # compact to 8 lanes: a convex quad/rect intersection has <= 8 vertices
+    score = jnp.where(valid, 1.0, 0.0) - jnp.arange(24) * 1e-6
+    _, idx = jax.lax.top_k(score, 8)
+    pts8 = pts[idx]
+    hs8 = hs[idx]
+    val8 = valid[idx]
+
+    # world positions: point on the incident face, shifted to the midpoint
+    world = (face_c[None, :] + pts8[:, :1] * u[None, :]
+             + pts8[:, 1:] * v[None, :] + hs8[:, None] * nref[None, :])
+    dist = jnp.where(val8, hs8, 1e10)
+    pos = world - nref[None, :] * (0.5 * hs8)[:, None]
+
+    # normal must point geom1 -> geom2
+    n_contact = jnp.where(ref_is_1, 1.0, -1.0) * nref
+    frame = jnp.broadcast_to(make_frame(n_contact), (8, 3, 3))
+
+    # edge-dominant fallback: if every candidate is invalid but the boxes
+    # overlap on the face axis, emit the deepest incident corner so
+    # penetration is never invisible to the solver
+    none_valid = ~jnp.any(val8)
+    deep = jnp.argmin(qh)
+    deep_pt = jnp.stack([
+        jnp.clip(qu[deep], -su, su), jnp.clip(qv[deep], -sv, sv)
+    ])
+    deep_h = qh[deep]
+    deep_world = (face_c + deep_pt[0] * u + deep_pt[1] * v
+                  + deep_h * nref)
+    dist = dist.at[0].set(jnp.where(none_valid, deep_h, dist[0]))
+    pos = pos.at[0].set(
+        jnp.where(none_valid, deep_world - nref * 0.5 * deep_h, pos[0])
+    )
+    return dist, pos, frame
+
+
 _PRIMS = {
     (GeomType.PLANE, GeomType.SPHERE): _plane_sphere,
     (GeomType.PLANE, GeomType.CAPSULE): _plane_capsule,
     (GeomType.PLANE, GeomType.BOX): _plane_box,
+    (GeomType.PLANE, GeomType.CYLINDER): _plane_cylinder,
+    (GeomType.PLANE, GeomType.ELLIPSOID): _plane_ellipsoid,
     (GeomType.SPHERE, GeomType.SPHERE): _sphere_sphere,
     (GeomType.SPHERE, GeomType.CAPSULE): _sphere_capsule,
     (GeomType.SPHERE, GeomType.BOX): _sphere_box,
+    (GeomType.SPHERE, GeomType.CYLINDER): _sphere_cylinder,
     (GeomType.CAPSULE, GeomType.CAPSULE): _capsule_capsule,
+    (GeomType.CAPSULE, GeomType.BOX): _capsule_box,
+    (GeomType.BOX, GeomType.BOX): _box_box,
 }
 
 

@@ -71,6 +71,22 @@ def body_dof_mask(model: Model) -> np.ndarray:
     return mask
 
 
+def tendon_jacobians(model: Model, dtype):
+    """Fixed-tendon coupling matrices: (ntendon, nv) over dofs for
+    velocity/force mapping and (ntendon, nq) over qpos for length.  The
+    sparsity is static (wrap tables); the coefficients stay traced."""
+    tv = jnp.zeros((model.ntendon, model.nv), dtype=dtype)
+    tq = jnp.zeros((model.ntendon, model.nq), dtype=dtype)
+    coefs = model.tendon_wrap_coef
+    for t in range(model.ntendon):
+        adr, num = model.tendon_adr[t], model.tendon_num[t]
+        for w in range(adr, adr + num):
+            j = model.tendon_wrap_jnt[w]
+            tv = tv.at[t, model.jnt_dofadr[j]].add(coefs[w])
+            tq = tq.at[t, model.jnt_qposadr[j]].add(coefs[w])
+    return tv, tq
+
+
 def subtree_mask(model: Model) -> np.ndarray:
     """(nbody, nbody) bool: mask[b, c] = c is in the subtree rooted at b."""
     nbody = model.nbody
@@ -389,6 +405,18 @@ def passive(model: Model, d: Data) -> Data:
             qfrc = qfrc.at[vadr + 3 : vadr + 6].add(-stiff * difq)
     # dof damping
     qfrc = qfrc - model.dof_damping * d.qvel
+    # fixed-tendon springs (dead-band) and dampers
+    if model.ntendon:
+        tv, tq = tendon_jacobians(model, dtype)
+        length = tq @ d.qpos
+        vel = tv @ d.qvel
+        lo = model.tendon_lengthspring[:, 0]
+        hi = model.tendon_lengthspring[:, 1]
+        disp = jnp.where(
+            length < lo, lo - length, jnp.where(length > hi, hi - length, 0.0)
+        )
+        frc = model.tendon_stiffness * disp - model.tendon_damping * vel
+        qfrc = qfrc + tv.T @ frc
     return d.replace(qfrc_passive=qfrc)
 
 
@@ -403,7 +431,19 @@ def actuator_moments(model: Model, d: Data):
     moments = jnp.zeros((model.nu, model.nv), dtype=dtype)
     lengths = jnp.zeros((model.nu,), dtype=dtype)
     bdm = None
+    tjac = None
     for u in range(model.nu):
+        if model.actuator_trntype[u] == TrnType.TENDON:
+            # tendon transmission: moment = gear[0] * tendon jacobian,
+            # length = gear[0] * tendon length (mj_transmission, mjTRN_TENDON)
+            t = model.actuator_trnid[u]
+            if tjac is None:
+                tjac = tendon_jacobians(model, dtype)
+            tv, tq = tjac
+            gear0 = model.actuator_gear[u][0]
+            moments = moments.at[u].set(gear0 * tv[t])
+            lengths = lengths.at[u].set(gear0 * jnp.dot(tq[t], d.qpos))
+            continue
         if model.actuator_trntype[u] == TrnType.SITE:
             # site transmission (no refsite): gear is a 6D wrench in the
             # site frame; moment = J_site^T (R_site gear[:3]; R_site

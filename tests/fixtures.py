@@ -232,3 +232,98 @@ SITE_THRUSTER = """
   </actuator>
 </mujoco>
 """
+
+# box dropped onto a box (BASELINE "box stack drop" golden)
+BOX_STACK = """
+<mujoco model="box_stack">
+  <option timestep="0.002" solver="Newton" iterations="30" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <body name="a" pos="0 0 0.1">
+      <freejoint/>
+      <geom name="ga" type="box" size="0.1 0.15 0.1" mass="1"/>
+    </body>
+    <body name="b" pos="0.03 0.02 0.33">
+      <freejoint/>
+      <geom name="gb" type="box" size="0.08 0.06 0.1" mass="0.7"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+# capsule dropped onto a box face
+CAPSULE_ON_BOX = """
+<mujoco model="capsule_on_box">
+  <option timestep="0.002" solver="Newton" iterations="30" tolerance="0"/>
+  <worldbody>
+    <body name="a" pos="0 0 0.1">
+      <freejoint/>
+      <geom name="ga" type="box" size="0.25 0.3 0.1" mass="2"/>
+    </body>
+    <body name="b" pos="0.0 0.05 0.3" euler="0 90 0">
+      <freejoint/>
+      <geom name="gb" type="capsule" size="0.05 0.15" mass="0.5"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+# cylinder dropped flat onto the floor
+CYLINDER_DROP = """
+<mujoco model="cylinder_drop">
+  <option timestep="0.002" solver="Newton" iterations="30" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <body name="c" pos="0 0 0.15">
+      <freejoint/>
+      <geom name="gc" type="cylinder" size="0.08 0.1" mass="1"/>
+    </body>
+    <body name="s" pos="0.3 0.0 0.4">
+      <freejoint/>
+      <geom name="gs" type="sphere" size="0.06" mass="0.3"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+# two-hinge finger with a fixed tendon: spring dead band, damping, limits,
+# friction loss, and a tendon-transmission motor
+TENDON_FINGER = """
+<mujoco model="tendon_finger">
+  <option timestep="0.002"/>
+  <worldbody>
+    <body name="proximal" pos="0 0 1">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.05"/>
+      <geom type="capsule" fromto="0 0 0 0.25 0 0" size="0.02" mass="0.8"/>
+      <body name="distal" pos="0.25 0 0">
+        <joint name="j2" type="hinge" axis="0 1 0" damping="0.05"/>
+        <geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.015" mass="0.4"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <fixed name="couple" stiffness="3.0" damping="0.2" frictionloss="0.05"
+           springlength="0.1 0.3" limited="true" range="-0.6 0.9">
+      <joint joint="j1" coef="1.0"/>
+      <joint joint="j2" coef="-0.5"/>
+    </fixed>
+  </tendon>
+  <actuator>
+    <motor name="pull" tendon="couple" gear="2" ctrlrange="-1 1"/>
+  </actuator>
+</mujoco>
+"""
+
+# ellipsoid tumbling onto the floor
+ELLIPSOID_DROP = """
+<mujoco model="ellipsoid_drop">
+  <option timestep="0.002" solver="Newton" iterations="30" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <body name="e" pos="0 0 0.2" euler="20 30 10">
+      <freejoint/>
+      <geom name="ge" type="ellipsoid" size="0.15 0.08 0.05" mass="1"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""

@@ -95,3 +95,48 @@ def test_reset_data_batched_shapes():
     out1 = reset_data(m, d.replace(qvel=d.qvel + 2.0))
     assert out1.qvel.shape == d.qvel.shape
     np.testing.assert_allclose(np.asarray(out1.qvel), 0.0)
+
+
+def test_checked_step_flags_nan():
+    """checkify sanitizer (SURVEY.md §5.2): a NaN injected into qvel must
+    surface as a checkify error naming the stage, not propagate silently."""
+    from oxide_control_tpu.utils.debug import checked_step
+    from oxide_control_tpu.suite.common import load_asset
+
+    # pendulum: checkify rewrites every primitive in the step graph, so
+    # keep the guarded model small (cheetah takes minutes to transform)
+    m = load_asset("pendulum")
+    d = make_data(m)
+    fn = jax.jit(checked_step(m))
+    err, out = fn(d)
+    err.throw()  # clean state: no error
+    bad = d.replace(qvel=d.qvel.at[0].set(jnp.nan))
+    err, out = fn(bad)
+    try:
+        err.throw()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, "checkify did not flag an injected NaN"
+
+
+def test_dtype_matrix_f32_vs_f64():
+    """Precision matrix (SURVEY.md §5.2): the f32 step must track the f64
+    step within single-precision tolerances over a short contact-rich
+    rollout (walker)."""
+    from oxide_control_tpu.suite.common import load_asset
+
+    results = {}
+    for dtype in (np.float64, np.float32):
+        m = load_asset("walker", dtype=dtype)
+        d = make_data(m)
+        d = d.replace(
+            qpos=d.qpos.at[0].add(jnp.asarray(-0.3, dtype=d.qpos.dtype))
+        )
+        step = jax.jit(lambda dd, mm=m: fwd.step(mm, dd))
+        for _ in range(50):
+            d = step(d)
+        results[np.dtype(dtype).name] = np.asarray(d.qpos, np.float64)
+        assert d.qpos.dtype == dtype
+    err = np.max(np.abs(results["float32"] - results["float64"]))
+    assert err < 5e-3, err  # contact-rich f32 noise floor

@@ -338,3 +338,32 @@ def test_site_transmission():
     """Site-transmission actuators (mjTRN_SITE, no refsite): the 6D gear
     wrench acts in the site frame through the site Jacobian."""
     compare(fixtures.SITE_THRUSTER, 600, 19, 1e-7, vel_tol=1e-5)
+
+
+def test_box_stack_drop():
+    """Box dropped onto a box: SAT + face-clip box-box contacts (up to 8
+    lanes) and plane-box, settling into face-face rest."""
+    compare_windowed(fixtures.BOX_STACK, 400, 25, 20, 1e-6, vel_tol=1e-4)
+
+
+def test_capsule_on_box():
+    """Capsule dropped flat onto a box face: end-sphere capsule-box lanes."""
+    compare_windowed(fixtures.CAPSULE_ON_BOX, 400, 25, 21, 1e-6, vel_tol=1e-4)
+
+
+def test_cylinder_drop():
+    """Upright cylinder drop (3-rim-contact flat case) plus a sphere that
+    lands beside it; exercises plane-cylinder lanes at rest and on impact."""
+    compare_windowed(fixtures.CYLINDER_DROP, 400, 25, 22, 1e-6, vel_tol=1e-4)
+
+
+def test_fixed_tendon():
+    """Fixed tendon: coupled-joint length/velocity, dead-band spring,
+    damping, tendon limits + friction-loss rows, tendon-transmission
+    actuator — all vs MuJoCo."""
+    compare(fixtures.TENDON_FINGER, 1000, 23, 1e-8)
+
+
+def test_ellipsoid_drop():
+    """Plane-ellipsoid support-point contact: tumbling ellipsoid drop."""
+    compare_windowed(fixtures.ELLIPSOID_DROP, 400, 25, 24, 1e-6, vel_tol=1e-4)

@@ -65,3 +65,25 @@ def test_sharded_rollout_collectives():
             data_s, jax.random.PRNGKey(2)
         )
     np.testing.assert_allclose(float(ret_sh), float(ret_ref), rtol=1e-12)
+
+
+def test_multitask_sharded_rollout():
+    """BASELINE config 4 shape: multiple suite tasks, each sharded over its
+    own device group of the mesh, feeding per-task mean returns to the
+    consumer."""
+    from oxide_control_tpu import suite
+    from oxide_control_tpu.parallel.multitask import (
+        multitask_rollout, partition_devices,
+    )
+
+    benvs = [
+        suite.load_batched("pendulum", "swingup", 8, dtype=np.float32),
+        suite.load_batched("cartpole", "balance", 8, dtype=np.float32),
+    ]
+    groups = partition_devices(len(benvs))
+    assert len(groups) == 2 and len(groups[0]) == 4  # 8 virtual devices
+    out = multitask_rollout(benvs, jax.random.PRNGKey(0), num_steps=5)
+    assert len(out) == 2
+    for data, ret in out:
+        assert np.isfinite(ret)
+        assert data.qpos.shape[0] == 8
