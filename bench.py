@@ -109,15 +109,30 @@ def bench_general(benv, steps_per_call):
         data, r = bundle_j(data, sub)
     np.asarray(r)
     wall = time.perf_counter() - t0
-    return wall, compile_s, "general-vmap"
+
+    # solver observability (SURVEY.md §5.5): iterations-to-tolerance,
+    # residual norm, and per-batch divergence count at the final state
+    from oxide_control_tpu.utils.divergence import divergence_flags
+
+    stats = {
+        "solver_niter_mean": round(
+            float(np.mean(np.asarray(data.solver_niter))), 2),
+        "solver_gradnorm_mean": float(
+            np.mean(np.asarray(data.solver_gradnorm))),
+        "diverged_envs": int(np.sum(np.asarray(
+            jax.jit(jax.vmap(lambda d: divergence_flags(benv.model, d)))(
+                data)))),
+    }
+    return wall, compile_s, "general-vmap", stats
 
 
 def bench_config(domain, task, batch, steps_per_call):
     benv = suite.load_batched(domain, task, batch, dtype=np.float32)
+    stats = {}
     if rollout_mod.fast_rollout_supported(benv):
         wall, compile_s, path = bench_fast(benv, steps_per_call)
     else:
-        wall, compile_s, path = bench_general(benv, steps_per_call)
+        wall, compile_s, path, stats = bench_general(benv, steps_per_call)
     steps = batch * steps_per_call * TIMED_CALLS
     return {
         "rate": round(steps / wall, 1),
@@ -127,6 +142,7 @@ def bench_config(domain, task, batch, steps_per_call):
         "timed_calls": TIMED_CALLS,
         "wall_s": round(wall, 3),
         "warmup_and_compile_s": round(compile_s, 1),
+        **stats,
     }
 
 

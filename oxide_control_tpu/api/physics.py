@@ -331,6 +331,15 @@ class Physics:
     def site_xpos(self, site):
         return self._data.site_xpos[self._resolve("site", site)]
 
+    def sensordata(self, sensor=None):
+        """Full sensordata vector, or the named/indexed sensor's slice
+        (mjData.sensordata analog; evaluated by forward/step)."""
+        if sensor is None:
+            return self._data.sensordata
+        idx = self._resolve("sensor", sensor)
+        adr = self._model.sensor_adr[idx]
+        return self._data.sensordata[adr : adr + self._model.sensor_dim[idx]]
+
     def diverged(self) -> bool:
         """Host-side divergence check (analog of the mjMAXVAL bounds the
         reference re-exports for user-side checks, physics.rs:2)."""

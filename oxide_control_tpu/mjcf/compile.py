@@ -32,9 +32,11 @@ from ..model import (
     JointType,
     Model,
     NameTables,
+    ObjType,
     Option,
     QPOS_WIDTH,
     DOF_WIDTH,
+    SensorType,
     SolverType,
     TrnType,
 )
@@ -46,6 +48,7 @@ _GEOM_TYPES = {
     "ellipsoid": GeomType.ELLIPSOID,
     "cylinder": GeomType.CYLINDER,
     "box": GeomType.BOX,
+    "mesh": GeomType.MESH,
 }
 
 _JOINT_TYPES = {
@@ -220,6 +223,8 @@ class _Compiler:
         self.actuators: list[dict] = []
         self.equalities: list[dict] = []
         self.tendons: list[dict] = []
+        self.sensors: list[dict] = []
+        self.meshes: list[dict] = []
         self.excludes: list[tuple[str, str]] = []
         self.explicit_pairs: list[dict] = []
 
@@ -289,6 +294,7 @@ class _Compiler:
     # -- tree walk ----------------------------------------------------------
 
     def parse(self):
+        self._parse_assets()
         world = self.root.find("worldbody")
         if world is None:
             raise ModelError("missing <worldbody>")
@@ -305,6 +311,41 @@ class _Compiler:
         self._parse_actuators()
         self._parse_equality()
         self._parse_contact()
+        self._parse_sensors()
+
+    # -- assets -------------------------------------------------------------
+
+    def _parse_assets(self):
+        a_root = self.root.find("asset")
+        if a_root is None:
+            return
+        for elem in a_root:
+            if elem.tag in ("texture", "material", "skin"):
+                continue  # rendering-only assets: no physics, ignored
+            if elem.tag == "hfield":
+                raise UnsupportedFeatureError("hfield assets not supported")
+            if elem.tag != "mesh":
+                raise UnsupportedFeatureError(f"unsupported asset <{elem.tag}>")
+            attrs = dict(elem.attrib)
+            scale = _attr_floats(attrs, "scale", [1, 1, 1], 3)
+            if "vertex" in attrs:
+                verts = _floats(attrs["vertex"]).reshape(-1, 3)
+                default_name = None
+            elif "file" in attrs:
+                path = attrs["file"]
+                if self.base_dir is not None:
+                    path = os.path.join(self.base_dir, path)
+                verts = _load_stl_vertices(path)
+                default_name = os.path.splitext(
+                    os.path.basename(attrs["file"]))[0]
+            else:
+                raise ModelError("<mesh> requires vertex or file data")
+            if verts.shape[0] < 4:
+                raise ModelError("<mesh> needs at least 4 vertices")
+            name = attrs.get("name", default_name)
+            if name is None:
+                raise ModelError("<mesh> requires a name")
+            self.meshes.append(dict(name=name, verts=verts * scale))
 
     # -- tendons ------------------------------------------------------------
 
@@ -469,10 +510,13 @@ class _Compiler:
             quat = _quat_from_zaxis(a - b)
             size = size.copy()
             size[1] = 0.5 * np.linalg.norm(b - a)  # half-length
+        if gtype == GeomType.MESH and "mesh" not in attrs:
+            raise ModelError("mesh geom requires a mesh attribute")
         gid = len(self.geoms)
         self.geoms.append(
             dict(
                 name=attrs.get("name", f"geom{gid}"),
+                mesh=attrs.get("mesh"),
                 type=gtype,
                 body=body_id,
                 pos=pos,
@@ -724,6 +768,108 @@ class _Compiler:
             else:
                 raise UnsupportedFeatureError(f"unsupported contact <{elem.tag}>")
 
+    # -- sensors ------------------------------------------------------------
+
+    # tag -> (SensorType, dim, attachment kind)
+    _SENSOR_TAGS = {
+        "touch": (SensorType.TOUCH, 1, "site"),
+        "accelerometer": (SensorType.ACCELEROMETER, 3, "site"),
+        "velocimeter": (SensorType.VELOCIMETER, 3, "site"),
+        "gyro": (SensorType.GYRO, 3, "site"),
+        "force": (SensorType.FORCE, 3, "site"),
+        "torque": (SensorType.TORQUE, 3, "site"),
+        "magnetometer": (SensorType.MAGNETOMETER, 3, "site"),
+        "rangefinder": (SensorType.RANGEFINDER, 1, "site"),
+        "jointpos": (SensorType.JOINTPOS, 1, "joint"),
+        "jointvel": (SensorType.JOINTVEL, 1, "joint"),
+        "jointactuatorfrc": (SensorType.JOINTACTFRC, 1, "joint"),
+        "ballquat": (SensorType.BALLQUAT, 4, "joint"),
+        "ballangvel": (SensorType.BALLANGVEL, 3, "joint"),
+        "tendonpos": (SensorType.TENDONPOS, 1, "tendon"),
+        "tendonvel": (SensorType.TENDONVEL, 1, "tendon"),
+        "actuatorpos": (SensorType.ACTUATORPOS, 1, "actuator"),
+        "actuatorvel": (SensorType.ACTUATORVEL, 1, "actuator"),
+        "actuatorfrc": (SensorType.ACTUATORFRC, 1, "actuator"),
+        "framepos": (SensorType.FRAMEPOS, 3, "frame"),
+        "framequat": (SensorType.FRAMEQUAT, 4, "frame"),
+        "framexaxis": (SensorType.FRAMEXAXIS, 3, "frame"),
+        "frameyaxis": (SensorType.FRAMEYAXIS, 3, "frame"),
+        "framezaxis": (SensorType.FRAMEZAXIS, 3, "frame"),
+        "framelinvel": (SensorType.FRAMELINVEL, 3, "frame"),
+        "frameangvel": (SensorType.FRAMEANGVEL, 3, "frame"),
+        "framelinacc": (SensorType.FRAMELINACC, 3, "frame"),
+        "frameangacc": (SensorType.FRAMEANGACC, 3, "frame"),
+        "subtreecom": (SensorType.SUBTREECOM, 3, "body"),
+        "subtreelinvel": (SensorType.SUBTREELINVEL, 3, "body"),
+        "subtreeangmom": (SensorType.SUBTREEANGMOM, 3, "body"),
+        "clock": (SensorType.CLOCK, 1, "none"),
+    }
+
+    _FRAME_OBJTYPES = {
+        "body": ObjType.BODY,
+        "xbody": ObjType.XBODY,
+        "geom": ObjType.GEOM,
+        "site": ObjType.SITE,
+    }
+
+    def _parse_sensors(self):
+        s_root = self.root.find("sensor")
+        if s_root is None:
+            return
+        for elem in s_root:
+            if elem.tag not in self._SENSOR_TAGS:
+                raise UnsupportedFeatureError(
+                    f"unsupported sensor <{elem.tag}>"
+                )
+            stype, dim, kind = self._SENSOR_TAGS[elem.tag]
+            attrs = dict(elem.attrib)
+            reftype, refname = ObjType.NONE, ""
+            if kind == "frame":
+                otname = attrs.get("objtype", "")
+                if otname not in self._FRAME_OBJTYPES:
+                    raise ModelError(
+                        f"<{elem.tag}> objtype must be one of "
+                        f"{sorted(self._FRAME_OBJTYPES)}, got {otname!r}"
+                    )
+                objtype = self._FRAME_OBJTYPES[otname]
+                objname = attrs.get("objname", "")
+                if "reftype" in attrs or "refname" in attrs:
+                    rtname = attrs.get("reftype", "")
+                    if rtname not in self._FRAME_OBJTYPES:
+                        raise ModelError(
+                            f"<{elem.tag}> reftype {rtname!r} not supported"
+                        )
+                    if stype in (SensorType.FRAMELINACC,
+                                 SensorType.FRAMEANGACC):
+                        raise UnsupportedFeatureError(
+                            "reference frames on acceleration sensors are "
+                            "not supported (matches MuJoCo)"
+                        )
+                    reftype = self._FRAME_OBJTYPES[rtname]
+                    refname = attrs.get("refname", "")
+            elif kind == "none":
+                objtype, objname = ObjType.NONE, ""
+            else:
+                objtype = {
+                    "site": ObjType.SITE, "joint": ObjType.JOINT,
+                    "tendon": ObjType.TENDON, "actuator": ObjType.ACTUATOR,
+                    "body": ObjType.BODY,
+                }[kind]
+                objname = attrs.get(kind, "")
+                if not objname:
+                    raise ModelError(
+                        f"<{elem.tag}> requires a {kind!r} attribute"
+                    )
+            self.sensors.append(
+                dict(
+                    name=attrs.get("name", f"sensor{len(self.sensors)}"),
+                    type=stype, dim=dim,
+                    objtype=objtype, objname=objname,
+                    reftype=reftype, refname=refname,
+                    cutoff=_attr_float(attrs, "cutoff", 0.0),
+                )
+            )
+
     # -- option -------------------------------------------------------------
 
     def parse_option(self) -> Option:
@@ -748,6 +894,7 @@ class _Compiler:
             timestep=_attr_float(attrs, "timestep", 0.002),
             gravity=tuple(_attr_floats(attrs, "gravity", [0, 0, -9.81], 3)),
             wind=tuple(_attr_floats(attrs, "wind", [0, 0, 0], 3)),
+            magnetic=tuple(_attr_floats(attrs, "magnetic", [0, -0.5, 0], 3)),
             density=_attr_float(attrs, "density", 0.0),
             viscosity=_attr_float(attrs, "viscosity", 0.0),
             integrator=_INTEGRATORS[integ],
@@ -769,6 +916,71 @@ class _Compiler:
 
 
 # ---------------------------------------------------------------------------
+# mesh assets
+# ---------------------------------------------------------------------------
+
+
+def _load_stl_vertices(path: str) -> np.ndarray:
+    """Unique vertices of a binary STL file (the only physics-relevant
+    payload: collision and inertia use the convex hull)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 84:
+        raise ModelError(f"not a binary STL: {path!r}")
+    ntri = int(np.frombuffer(data[80:84], dtype="<u4")[0])
+    rec = np.frombuffer(data[84 : 84 + 50 * ntri], dtype=np.uint8)
+    rec = rec.reshape(ntri, 50)
+    tris = rec[:, 12:48].copy().view("<f4").reshape(ntri, 3, 3)
+    verts = np.unique(tris.reshape(-1, 3), axis=0).astype(np.float64)
+    return verts
+
+
+def _process_mesh(verts: np.ndarray):
+    """Convex-hull mass properties + canonical (com-centered, principal-
+    axis-aligned) vertex frame — the mjCMesh::Process analog.  Returns
+    (canonical hull verts, volume, com (in the input frame), principal
+    quat, unit-mass inertia diag)."""
+    from scipy.spatial import ConvexHull
+
+    hull = ConvexHull(verts)
+    # signed tetrahedra (origin, triangle) over outward-oriented hull faces
+    tris = verts[hull.simplices]  # (nf, 3, 3)
+    # orient each face outward (qhull simplices are not ordered): flip a
+    # face if its normal points toward the hull interior
+    centroid = np.mean(verts[hull.vertices], axis=0)
+    n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    flip = np.einsum("fi,fi->f", n, tris[:, 0] - centroid) < 0
+    tris[flip] = tris[flip][:, ::-1]
+
+    vols = np.einsum(
+        "fi,fi->f", tris[:, 0], np.cross(tris[:, 1], tris[:, 2])
+    ) / 6.0
+    volume = float(np.sum(vols))
+    if volume <= 0:
+        raise ModelError("mesh has non-positive hull volume")
+    # centroid of tetra (origin, a, b, c) = (a + b + c)/4
+    com = 0.75 * np.einsum("f,fi->i", vols, np.mean(tris, axis=1)) / volume
+
+    # inertia (unit density) about com: exact tetrahedron covariance sums
+    t = tris - com
+    cov = np.zeros((3, 3))
+    for f in range(t.shape[0]):
+        a, b, cc = t[f]
+        det = np.dot(a, np.cross(b, cc))
+        pts = np.stack([a, b, cc])
+        s = pts.sum(axis=0)
+        c_f = (np.einsum("ki,kj->ij", pts, pts) + np.outer(s, s)) * (
+            det / 120.0
+        )
+        cov += c_f
+    inertia_full = np.trace(cov) * np.eye(3) - cov
+    diag, iquat = _principal_decomposition(inertia_full)
+    r = _quat_to_mat(iquat)
+    canonical = (verts[hull.vertices] - com) @ r
+    return canonical, volume, com, iquat, diag / volume
+
+
+# ---------------------------------------------------------------------------
 # geom mass properties
 # ---------------------------------------------------------------------------
 
@@ -777,6 +989,12 @@ def _geom_mass_inertia(g: dict) -> tuple[float, np.ndarray]:
     """(mass, principal inertia diag about geom com, in geom frame)."""
     t, size = g["type"], g["size"]
     r = float(size[0])
+    if t == GeomType.MESH:
+        # geom pos/quat were re-anchored to the mesh's canonical frame at
+        # asset-processing time, so the diag is already principal
+        vol = g["mesh_volume"]
+        mass = g["mass"] if g["mass"] is not None else g["density"] * vol
+        return mass, mass * np.asarray(g["mesh_unit_inertia"])
     if t == GeomType.PLANE:
         return 0.0, np.zeros(3)
     if t == GeomType.SPHERE:
@@ -991,6 +1209,52 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
             qpos0[adr] = j["ref"]
             qpos_spring[adr] = j["springref"]
 
+    # ----- mesh assets: process hulls, re-anchor mesh geoms -----
+    mesh_names = [m["name"] for m in c.meshes]
+    mesh_canonical: dict[int, np.ndarray] = {}
+    geom_dataid = []
+    for g in c.geoms:
+        if g["type"] != GeomType.MESH:
+            geom_dataid.append(-1)
+            continue
+        try:
+            mid = mesh_names.index(g["mesh"])
+        except ValueError:
+            raise ModelError(f"geom references unknown mesh {g['mesh']!r}")
+        if mid not in mesh_canonical:
+            canonical, vol, com, iq, unit_diag = _process_mesh(
+                c.meshes[mid]["verts"]
+            )
+            mesh_canonical[mid] = canonical
+            c.meshes[mid].update(volume=vol, com=com, iquat=iq,
+                                 unit_inertia=unit_diag)
+        mm = c.meshes[mid]
+        # shift the geom frame to the canonical mesh frame (MuJoCo
+        # compiler semantics: stored vertices are com-centered and
+        # principal-axis aligned; the geom pose absorbs the transform)
+        r_g = _quat_to_mat(g["quat"])
+        g["pos"] = np.asarray(g["pos"]) + r_g @ mm["com"]
+        g["quat"] = _quat_mul(g["quat"], mm["iquat"])
+        g["mesh_volume"] = mm["volume"]
+        g["mesh_unit_inertia"] = mm["unit_inertia"]
+        geom_dataid.append(mid)
+    nmesh = len(c.meshes)
+    if mesh_canonical:
+        mesh_vertadr, mesh_vertnum = [], []
+        stacked = []
+        adr = 0
+        for mid in range(nmesh):
+            v = mesh_canonical.get(mid, np.zeros((0, 3)))
+            mesh_vertadr.append(adr)
+            mesh_vertnum.append(v.shape[0])
+            stacked.append(v)
+            adr += v.shape[0]
+        mesh_vert = np.concatenate(stacked, axis=0)
+    else:
+        mesh_vertadr = [0] * nmesh
+        mesh_vertnum = [0] * nmesh
+        mesh_vert = None
+
     # ----- geoms -----
     geom_type = [int(g["type"]) for g in c.geoms]
     geom_bodyid = [g["body"] for g in c.geoms]
@@ -1017,6 +1281,10 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
             rbound[i] = s[0]
         elif t in (GeomType.CAPSULE, GeomType.CYLINDER):
             rbound[i] = s[0] + s[1] if t == GeomType.CAPSULE else math.hypot(s[0], s[1])
+        elif t == GeomType.MESH:
+            rbound[i] = float(
+                np.max(np.linalg.norm(mesh_canonical[geom_dataid[i]], axis=1))
+            )
         else:
             rbound[i] = float(np.linalg.norm(s))
 
@@ -1055,7 +1323,16 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
             for m, p, full in zip(masses, coms, fulls):
                 d = p - com
                 itot += full + m * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
-            diag, iquat = _principal_decomposition(itot)
+            if len(b["geom_ids"]) == 1:
+                # single-geom body: MuJoCo's compiler takes the geom frame
+                # as the inertial frame directly (geom-axis order, no eig),
+                # which pins the gauge for axisymmetric geoms — matched so
+                # ximat-based frame sensors agree with the oracle
+                g = c.geoms[b["geom_ids"][0]]
+                _, diag = _geom_mass_inertia(g)
+                iquat = np.asarray(g["quat"], dtype=float)
+            else:
+                diag, iquat = _principal_decomposition(itot)
             body_mass[i] = max(mtot, c.boundmass)
             body_inertia[i] = np.maximum(diag, c.boundinertia)
             body_ipos[i] = com
@@ -1090,6 +1367,7 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         actuator=tuple(a["name"] for a in c.actuators),
         equality=tuple(e["name"] for e in c.equalities),
         tendon=tuple(t["name"] for t in c.tendons),
+        sensor=tuple(s["name"] for s in c.sensors),
     )
 
     # ----- tendons (fixed) -----
@@ -1155,12 +1433,60 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         else:
             eq_obj2id.append(-1)
 
+    # ----- sensor id resolution + data layout -----
+    _SENSOR_TABLES = {
+        ObjType.BODY: names.body, ObjType.XBODY: names.body,
+        ObjType.JOINT: names.joint, ObjType.GEOM: names.geom,
+        ObjType.SITE: names.site, ObjType.ACTUATOR: names.actuator,
+        ObjType.TENDON: names.tendon,
+    }
+
+    def _sensor_obj(stype, objtype, objname, what):
+        if objtype == ObjType.NONE:
+            return -1
+        try:
+            oid = _SENSOR_TABLES[objtype].index(objname)
+        except ValueError:
+            raise ModelError(
+                f"sensor references unknown {what} {objname!r}"
+            )
+        if objtype == ObjType.JOINT:
+            jt = c.joints[oid]["type"]
+            if stype in (SensorType.BALLQUAT, SensorType.BALLANGVEL):
+                if jt != JointType.BALL:
+                    raise ModelError(
+                        f"ball sensor on non-ball joint {objname!r}")
+            elif jt not in (JointType.HINGE, JointType.SLIDE):
+                raise ModelError(
+                    f"scalar joint sensor on joint {objname!r} of type {jt}"
+                )
+        return oid
+
+    sensor_adr, nsensordata = [], 0
+    for s in c.sensors:
+        s["objid"] = _sensor_obj(s["type"], s["objtype"], s["objname"],
+                                 "object")
+        s["refid"] = _sensor_obj(s["type"], s["reftype"], s["refname"],
+                                 "reference object")
+        sensor_adr.append(nsensordata)
+        nsensordata += s["dim"]
+
     # ----- contact pair table -----
     pair_entries = _build_pairs(c, names, geom_type, geom_bodyid, body_weldid,
                                 body_parentid, geom_contype, geom_conaffinity,
                                 geom_condim, geom_priority, geom_solmix,
                                 geom_friction, geom_solref, geom_solimp,
                                 geom_margin, geom_gap)
+
+    # mesh collision narrowphase exists for plane-mesh only; reject other
+    # mesh pairings at compile time rather than at first trace
+    for p in pair_entries:
+        ts = (geom_type[p["g1"]], geom_type[p["g2"]])
+        if GeomType.MESH in ts and ts != (GeomType.PLANE, GeomType.MESH):
+            raise UnsupportedFeatureError(
+                f"mesh collision supported against planes only, got pair "
+                f"{GeomType(ts[0]).name}-{GeomType(ts[1]).name}"
+            )
 
     # group by (type1, type2)
     groups: dict[tuple[int, int], list[int]] = {}
@@ -1318,6 +1644,22 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         pair_solimp=f(pair_solimp),
         pair_margin=f(pair_margin),
         pair_gap=f(pair_gap),
+        nsensor=len(c.sensors),
+        nsensordata=nsensordata,
+        sensor_type=tuple(int(s["type"]) for s in c.sensors),
+        sensor_objtype=tuple(int(s["objtype"]) for s in c.sensors),
+        sensor_objid=tuple(s["objid"] for s in c.sensors),
+        sensor_reftype=tuple(int(s["reftype"]) for s in c.sensors),
+        sensor_refid=tuple(s["refid"] for s in c.sensors),
+        sensor_adr=tuple(sensor_adr),
+        sensor_dim=tuple(s["dim"] for s in c.sensors),
+        sensor_cutoff=(f([s["cutoff"] for s in c.sensors])
+                       if c.sensors else None),
+        nmesh=nmesh,
+        geom_dataid=tuple(geom_dataid),
+        mesh_vertadr=tuple(mesh_vertadr),
+        mesh_vertnum=tuple(mesh_vertnum),
+        mesh_vert=None if mesh_vert is None else f(mesh_vert),
     )
     model = _set_const(model)
     if dtype != np.float64:

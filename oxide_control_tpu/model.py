@@ -91,6 +91,55 @@ class EqType(enum.IntEnum):
     JOINT = 2
 
 
+class SensorType(enum.IntEnum):
+    """Sensor kinds (values match MuJoCo mjtSensor for golden parity)."""
+
+    TOUCH = 0
+    ACCELEROMETER = 1
+    VELOCIMETER = 2
+    GYRO = 3
+    FORCE = 4
+    TORQUE = 5
+    MAGNETOMETER = 6
+    RANGEFINDER = 7
+    JOINTPOS = 9
+    JOINTVEL = 10
+    TENDONPOS = 11
+    TENDONVEL = 12
+    ACTUATORPOS = 13
+    ACTUATORVEL = 14
+    ACTUATORFRC = 15
+    JOINTACTFRC = 16
+    BALLQUAT = 18
+    BALLANGVEL = 19
+    FRAMEPOS = 26
+    FRAMEQUAT = 27
+    FRAMEXAXIS = 28
+    FRAMEYAXIS = 29
+    FRAMEZAXIS = 30
+    FRAMELINVEL = 31
+    FRAMEANGVEL = 32
+    FRAMELINACC = 33
+    FRAMEANGACC = 34
+    SUBTREECOM = 35
+    SUBTREELINVEL = 36
+    SUBTREEANGMOM = 37
+    CLOCK = 45
+
+
+class ObjType(enum.IntEnum):
+    """Sensor/frame attachment object types (values match mjtObj)."""
+
+    NONE = 0
+    BODY = 1
+    XBODY = 2
+    JOINT = 3
+    GEOM = 5
+    SITE = 6
+    TENDON = 18
+    ACTUATOR = 19
+
+
 # number of qpos / qvel entries per joint type
 QPOS_WIDTH = {JointType.FREE: 7, JointType.BALL: 4, JointType.SLIDE: 1, JointType.HINGE: 1}
 DOF_WIDTH = {JointType.FREE: 6, JointType.BALL: 3, JointType.SLIDE: 1, JointType.HINGE: 1}
@@ -103,6 +152,7 @@ class Option:
     timestep: float = 0.002
     gravity: tuple[float, float, float] = (0.0, 0.0, -9.81)
     wind: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    magnetic: tuple[float, float, float] = (0.0, -0.5, 0.0)
     density: float = 0.0
     viscosity: float = 0.0
     integrator: Integrator = Integrator.EULER
@@ -284,6 +334,25 @@ class Model:
     pair_margin: jax.Array    # (npair,)
     pair_gap: jax.Array       # (npair,)
 
+    # ----- sensors (static table + cutoff leaf; defaults = no sensors) ---
+    nsensor: int = static_field(default=0)
+    nsensordata: int = static_field(default=0)
+    sensor_type: tuple = static_field(default=())     # SensorType values
+    sensor_objtype: tuple = static_field(default=())  # ObjType values
+    sensor_objid: tuple = static_field(default=())
+    sensor_reftype: tuple = static_field(default=())  # ObjType; frame ref
+    sensor_refid: tuple = static_field(default=())    # -1 = world/global
+    sensor_adr: tuple = static_field(default=())      # into sensordata
+    sensor_dim: tuple = static_field(default=())
+    sensor_cutoff: Any = None  # (nsensor,) leaf; None when nsensor == 0
+
+    # ----- mesh assets (convex hulls in canonical com/principal frame) ---
+    nmesh: int = static_field(default=0)
+    geom_dataid: tuple = static_field(default=())   # mesh id per geom, -1
+    mesh_vertadr: tuple = static_field(default=())
+    mesh_vertnum: tuple = static_field(default=())
+    mesh_vert: Any = None  # (sum vertnum, 3) leaf; None when nmesh == 0
+
     # ----- derived helpers -----
 
     @property
@@ -329,9 +398,10 @@ class NameTables:
     actuator: tuple = ()
     equality: tuple = ()
     tendon: tuple = ()
+    sensor: tuple = ()
 
     _TYPES = ("body", "joint", "geom", "site", "actuator", "equality",
-              "tendon")
+              "tendon", "sensor")
 
     def name2id(self, objtype: str, name: str) -> int:
         table = getattr(self, objtype)

@@ -237,6 +237,9 @@ def supports(model: Model) -> bool:
     """True if the scalar-graph fast path can run this model."""
     if model.neq or model.nmocap or model.ntendon:
         return False
+    if model.nsensor:
+        # sensordata evaluation lives in the general pipeline only
+        return False
     if model.na:
         # stateful actuators (filter/integrator/...) need act integration,
         # which the kernel does not implement: force = gain*ctrl + bias only

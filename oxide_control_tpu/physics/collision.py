@@ -38,6 +38,8 @@ def max_contacts_per_pair(t1: int, t2: int) -> int:
         return 3
     if pair == (GeomType.BOX, GeomType.BOX):
         return 8
+    if pair == (GeomType.PLANE, GeomType.MESH):
+        return 4
     return 1
 
 
@@ -520,6 +522,25 @@ _PRIMS = {
 }
 
 
+def _plane_mesh(ppos, pmat, mpos, mmat, verts):
+    """Plane vs convex mesh: contact lanes on the 4 deepest hull vertices.
+
+    TPU-native design note: MuJoCo's plane-convex narrowphase emits a
+    state-dependent subset of penetrating vertices; here the lane count is
+    static (top-4 by depth, inactive lanes masked by dist > margin), which
+    keeps shapes fixed under jit/vmap.  For hulls resting on a face this
+    reproduces the physically meaningful support polygon.
+    """
+    n = pmat[:, 2]
+    vw = mpos + verts @ mmat.T  # (nvert, 3) world-frame hull vertices
+    dist = (vw - ppos) @ n
+    negd, idx = jax.lax.top_k(-dist, 4)
+    dsel = -negd
+    pos = vw[idx] - 0.5 * dsel[:, None] * n
+    frame = jnp.broadcast_to(make_frame(n), (4, 3, 3))
+    return dsel, pos, frame
+
+
 def collision(model: Model, d: Data) -> Data:
     """Run narrowphase over all candidate pairs, filling fixed contact lanes
     in the model's flattened pair order."""
@@ -530,6 +551,25 @@ def collision(model: Model, d: Data) -> Data:
     offset = 0
     for (t1, t2, pairs) in model.pair_groups:
         key = (GeomType(t1), GeomType(t2))
+        if key == (GeomType.PLANE, GeomType.MESH):
+            # meshes carry per-geom vertex sets, so this group runs one
+            # narrowphase call per pair (meshes are few; the deepest-4
+            # vertex selection keeps the lane count static)
+            for (g1, g2) in pairs:
+                mid = model.geom_dataid[g2]
+                adr, num = model.mesh_vertadr[mid], model.mesh_vertnum[mid]
+                verts = jnp.asarray(
+                    model.mesh_vert[adr : adr + num], dtype=d.qpos.dtype
+                )
+                dist, pos, frame = _plane_mesh(
+                    d.geom_xpos[g1], d.geom_xmat[g1],
+                    d.geom_xpos[g2], d.geom_xmat[g2], verts,
+                )
+                dists.append(dist)
+                poss.append(pos)
+                frames.append(frame)
+                offset += dist.shape[0]
+            continue
         if key not in _PRIMS:
             raise NotImplementedError(f"collision {key[0].name}-{key[1].name}")
         fn = _PRIMS[key]

@@ -570,6 +570,10 @@ def make_efc(model: Model, d: Data):
     from ..model import ConeType
 
     elliptic = model.opt.cone == ConeType.ELLIPTIC
+    # static map from efc rows back to contact lanes, for per-lane force
+    # reconstruction (mj_contactForce analog; feeds touch/force/torque
+    # sensors): entries (lane, start_row, condim, nrow, is_cone)
+    contact_layout = []
 
     for condim in (1, 3, 4, 6):
         lanes = [i for i, c in enumerate(condims) if c == condim]
@@ -585,6 +589,9 @@ def make_efc(model: Model, d: Data):
         iw = model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0]
         jn = jnp.einsum("lk,lkv->lv", frame[:, 0], jdiff)  # (L, nv)
         if condim == 1:
+            start = len(rows.unilateral)
+            for li, lane in enumerate(lanes):
+                contact_layout.append((lane, start + li, 1, 1, False))
             rows.add_block(
                 model, jn, pos, con.solref[idx], con.solimp[idx], iw, exists,
                 True, vel=jn @ d.qvel,
@@ -625,6 +632,9 @@ def make_efc(model: Model, d: Data):
                 pos_c = jnp.concatenate(
                     [pos[li][None], jnp.zeros((condim - 1,), dtype=dtype)]
                 )
+                contact_layout.append(
+                    (lane, len(rows.unilateral), condim, condim, True)
+                )
                 rows.add_cone_block(Jc, pos_c, aref_c, D_c, exists[li], mu)
             continue
         # friction directions (MuJoCo order): tangential t1/t2 translation,
@@ -659,6 +669,11 @@ def make_efc(model: Model, d: Data):
         mu02 = (mu_all[:, 0] ** 2).astype(dtype)  # (L,)
         dap = jnp.repeat(iw * 2.0 * mu02 * (1.0 + mu02), nrow, axis=0)
         rep = lambda x: jnp.repeat(x, nrow, axis=0)
+        start = len(rows.unilateral)
+        for li, lane in enumerate(lanes):
+            contact_layout.append(
+                (lane, start + li * nrow, condim, nrow, False)
+            )
         rows.add_block(
             model, jp, rep(pos), rep(con.solref[idx]), rep(con.solimp[idx]),
             dap, rep(exists), True, vel=jp @ d.qvel,
@@ -680,6 +695,7 @@ def make_efc(model: Model, d: Data):
         cone_mu=(jnp.stack(rows.cone_mu)
                  if rows.cone_mu else None),       # (ncone, 5)
         impratio=float(model.opt.impratio),        # static
+        contact_layout=tuple(contact_layout),      # static row->lane map
     )
 
 
@@ -935,6 +951,7 @@ def _solve_cg(model: Model, d: Data, efc):
         nefc_active=jnp.sum(efc["exists"], dtype=jnp.int32),
         solver_cost=_cost(efc, x, qacc_smooth, jar, qM),
         solver_gradnorm=jnp.linalg.norm(grad_of(x, jar)),
+        solver_niter=jnp.asarray(model.opt.iterations, dtype=jnp.int32),
     )
 
 
@@ -998,7 +1015,7 @@ def _solve_newton(model: Model, d: Data, efc):
         return jnp.where(efc["exists"][start], h, 0.0)
 
     def body(_, carry):
-        x, jar = carry
+        x, jar, cost, niter = carry
         f = _efc_force(efc, jar)
         grad = qM @ x - qfrc_smooth - J.T @ f
         # Hessian rows: quadratic only while the force is inside its band
@@ -1017,9 +1034,21 @@ def _solve_newton(model: Model, d: Data, efc):
         d0_gauss = jnp.dot(p, qM @ x - qfrc_smooth)
         slope_gauss = jnp.dot(p, qM @ p)
         alpha = _linesearch(efc, jar, jp, d0_gauss, slope_gauss)
-        return x + alpha * p, jar + alpha * jp
+        x = x + alpha * p
+        jar = jar + alpha * jp
+        # observability (SURVEY.md §5.5): count iterations that still made
+        # progress beyond the solver tolerance
+        new_cost = _cost(efc, x, qacc_smooth, jar, qM)
+        improved = (cost - new_cost) > model.opt.tolerance * jnp.maximum(
+            1.0, jnp.abs(cost)
+        )
+        return x, jar, new_cost, niter + improved.astype(jnp.int32)
 
-    x, jar = jax.lax.fori_loop(0, model.opt.iterations, body, (x0, jar0))
+    c0 = jnp.minimum(c_ws, c_sm)
+    x, jar, cost, niter = jax.lax.fori_loop(
+        0, model.opt.iterations, body,
+        (x0, jar0, c0, jnp.zeros((), dtype=jnp.int32)),
+    )
     f = _efc_force(efc, jar)
     grad = qM @ x - qfrc_smooth - J.T @ f
     return d.replace(
@@ -1027,8 +1056,9 @@ def _solve_newton(model: Model, d: Data, efc):
         qfrc_constraint=J.T @ f,
         qacc_warmstart=x,
         nefc_active=jnp.sum(efc["exists"], dtype=jnp.int32),
-        solver_cost=_cost(efc, x, qacc_smooth, jar, qM),
+        solver_cost=cost,
         solver_gradnorm=jnp.linalg.norm(grad),
+        solver_niter=niter,
     )
 
 
@@ -1104,7 +1134,58 @@ def _solve_pgs(model: Model, d: Data, efc):
         nefc_active=jnp.sum(exists, dtype=jnp.int32),
         solver_cost=_cost(efc, qacc, d.qacc_smooth, J @ qacc - aref, qM),
         solver_gradnorm=jnp.linalg.norm(jnp.where(exists, proj, 0.0)),
+        solver_niter=jnp.asarray(model.opt.iterations, dtype=jnp.int32),
     )
+
+
+def contact_forces(model: Model, d: Data, efc, qacc) -> jax.Array:
+    """(ncon, 6) world-frame [torque; force] acting on geom2's body at each
+    contact point, reconstructed from the solved efc forces
+    (mj_contactForce analog).  Pyramidal facets recombine as
+    normal = sum(facets), tangent_k = mu_k * (f_k+ - f_k-); elliptic rows
+    are the frame-axis forces directly."""
+    dtype = d.qpos.dtype
+    ncon = d.contact.dist.shape[0]
+    out = jnp.zeros((ncon, 6), dtype=dtype)
+    if efc is None or not efc.get("contact_layout"):
+        return out
+    jar = efc["J"] @ qacc - efc["aref"]
+    f = _efc_force(efc, jar)
+    z3 = jnp.zeros(3, dtype=dtype)
+    for (lane, start, condim, nrow, is_cone) in efc["contact_layout"]:
+        frame = d.contact.frame[lane]  # rows [n, t1, t2]
+        mu = d.contact.friction[lane]
+        torque = z3
+        if condim == 1:
+            force = frame[0] * f[start]
+        elif is_cone:
+            fc = f[start : start + condim]
+            force = frame.T @ fc[:3]
+            if condim >= 4:
+                torque = frame[0] * fc[3]
+            if condim == 6:
+                torque = torque + frame[1] * fc[4] + frame[2] * fc[5]
+        else:
+            ndir = nrow // 2
+            fr = f[start : start + nrow].reshape(ndir, 2)
+            fn = jnp.sum(fr)
+            diff = fr[:, 0] - fr[:, 1]
+            force = (frame[0] * fn + frame[1] * mu[0] * diff[0]
+                     + frame[2] * mu[1] * diff[1])
+            if condim >= 4:
+                torque = frame[0] * mu[2] * diff[2]
+            if condim == 6:
+                torque = (torque + frame[1] * mu[3] * diff[3]
+                          + frame[2] * mu[4] * diff[4])
+        out = out.at[lane].set(jnp.concatenate([torque, force]))
+    return out
+
+
+def _needs_contact_force(model: Model) -> bool:
+    from ..model import SensorType
+
+    want = (SensorType.TOUCH, SensorType.FORCE, SensorType.TORQUE)
+    return any(SensorType(t) in want for t in model.sensor_type)
 
 
 def fwd_constraint(model: Model, d: Data) -> Data:
@@ -1119,11 +1200,16 @@ def fwd_constraint(model: Model, d: Data) -> Data:
             nefc_active=jnp.zeros((), dtype=jnp.int32),
             solver_cost=zero,
             solver_gradnorm=zero,
+            solver_niter=jnp.zeros((), dtype=jnp.int32),
         )
     from ..model import SolverType
 
     if model.opt.solver == SolverType.NEWTON:
-        return _solve_newton(model, d, efc)
-    if model.opt.solver == SolverType.PGS:
-        return _solve_pgs(model, d, efc)
-    return _solve_cg(model, d, efc)
+        d = _solve_newton(model, d, efc)
+    elif model.opt.solver == SolverType.PGS:
+        d = _solve_pgs(model, d, efc)
+    else:
+        d = _solve_cg(model, d, efc)
+    if _needs_contact_force(model):
+        d = d.replace(contact_force=contact_forces(model, d, efc, d.qacc))
+    return d

@@ -17,6 +17,7 @@ from ..state import Data
 from . import collision as _collision
 from . import constraint as _constraint
 from . import integrate as _integrate
+from . import sensor as _sensor
 from . import smooth
 
 
@@ -27,6 +28,7 @@ def fwd_position(model: Model, d: Data) -> Data:
     d = smooth.com_pos(model, d)
     d = smooth.crb(model, d)
     d = _collision.collision(model, d)
+    d = _sensor.sensor_pos(model, d)
     return d
 
 
@@ -35,6 +37,7 @@ def fwd_velocity(model: Model, d: Data) -> Data:
     d = smooth.com_vel(model, d)
     d = smooth.rne(model, d)
     d = smooth.passive(model, d)
+    d = _sensor.sensor_vel(model, d)
     return d
 
 
@@ -58,6 +61,7 @@ def forward(model: Model, d: Data) -> Data:
     d = fwd_actuation(model, d)
     d = fwd_acceleration(model, d)
     d = fwd_constraint(model, d)
+    d = _sensor.sensor_acc(model, d)
     return d
 
 

@@ -99,10 +99,17 @@ class Data:
     nefc_active: jax.Array     # () int32: number of active efc rows
     qfrc_constraint: jax.Array # (nv,)
     qacc: jax.Array            # (nv,)
+    # per-lane world [torque; force] on geom2's body at the contact point;
+    # populated only when the model has touch/force/torque sensors
+    contact_force: jax.Array   # (ncon, 6)
+
+    # ----- sensors -----
+    sensordata: jax.Array      # (nsensordata,)
 
     # ----- solver observability (SURVEY.md §5.5) -----
     solver_cost: jax.Array     # () final constraint-solver cost
     solver_gradnorm: jax.Array # () |grad| at the returned iterate
+    solver_niter: jax.Array    # () int32 iterations-to-tolerance (Newton)
 
     @property
     def ncon(self) -> int:
@@ -199,8 +206,11 @@ def make_data(model: Model) -> Data:
         nefc_active=jnp.zeros((), dtype=jnp.int32),
         qfrc_constraint=z(nv),
         qacc=z(nv),
+        contact_force=z(ncon, 6),
+        sensordata=z(model.nsensordata),
         solver_cost=jnp.zeros((), dtype=dtype),
         solver_gradnorm=jnp.zeros((), dtype=dtype),
+        solver_niter=jnp.zeros((), dtype=jnp.int32),
     )
 
 

@@ -140,3 +140,19 @@ def test_dtype_matrix_f32_vs_f64():
         assert d.qpos.dtype == dtype
     err = np.max(np.abs(results["float32"] - results["float64"]))
     assert err < 5e-3, err  # contact-rich f32 noise floor
+
+
+def test_solver_observability_stats():
+    """SURVEY.md §5.5: the constraint solve reports iterations-to-tolerance
+    and the residual norm on Data; Newton on a contact-rich state uses at
+    least one productive iteration and no more than opt.iterations."""
+    from oxide_control_tpu.suite.common import load_asset
+
+    m = load_asset("walker")
+    d = make_data(m)
+    d = d.replace(qpos=d.qpos.at[0].add(jnp.asarray(-0.3, dtype=d.qpos.dtype)))
+    d = jax.jit(lambda dd: fwd.step(mm := m, dd))(d)
+    niter = int(d.solver_niter)
+    assert 1 <= niter <= m.opt.iterations
+    assert np.isfinite(float(d.solver_cost))
+    assert np.isfinite(float(d.solver_gradnorm))
