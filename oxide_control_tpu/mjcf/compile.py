@@ -49,6 +49,7 @@ _GEOM_TYPES = {
     "cylinder": GeomType.CYLINDER,
     "box": GeomType.BOX,
     "mesh": GeomType.MESH,
+    "hfield": GeomType.HFIELD,
 }
 
 _JOINT_TYPES = {
@@ -225,6 +226,7 @@ class _Compiler:
         self.tendons: list[dict] = []
         self.sensors: list[dict] = []
         self.meshes: list[dict] = []
+        self.hfields: list[dict] = []
         self.excludes: list[tuple[str, str]] = []
         self.explicit_pairs: list[dict] = []
 
@@ -323,7 +325,30 @@ class _Compiler:
             if elem.tag in ("texture", "material", "skin"):
                 continue  # rendering-only assets: no physics, ignored
             if elem.tag == "hfield":
-                raise UnsupportedFeatureError("hfield assets not supported")
+                attrs = dict(elem.attrib)
+                if "elevation" not in attrs:
+                    raise UnsupportedFeatureError(
+                        "hfield assets require inline elevation data "
+                        "(file-based hfields not supported)"
+                    )
+                nrow = int(attrs["nrow"])
+                ncol = int(attrs["ncol"])
+                data = _floats(attrs["elevation"]).reshape(nrow, ncol)
+                # MuJoCo normalizes elevation into [0, 1]; z scaling lives
+                # in size[2]
+                dmin, dmax = float(data.min()), float(data.max())
+                if dmax > dmin:
+                    data = (data - dmin) / (dmax - dmin)
+                else:
+                    data = np.zeros_like(data)
+                self.hfields.append(
+                    dict(
+                        name=attrs.get("name", f"hfield{len(self.hfields)}"),
+                        nrow=nrow, ncol=ncol, data=data,
+                        size=_attr_floats(attrs, "size", None, 4),
+                    )
+                )
+                continue
             if elem.tag != "mesh":
                 raise UnsupportedFeatureError(f"unsupported asset <{elem.tag}>")
             attrs = dict(elem.attrib)
@@ -512,11 +537,14 @@ class _Compiler:
             size[1] = 0.5 * np.linalg.norm(b - a)  # half-length
         if gtype == GeomType.MESH and "mesh" not in attrs:
             raise ModelError("mesh geom requires a mesh attribute")
+        if gtype == GeomType.HFIELD and "hfield" not in attrs:
+            raise ModelError("hfield geom requires an hfield attribute")
         gid = len(self.geoms)
         self.geoms.append(
             dict(
                 name=attrs.get("name", f"geom{gid}"),
                 mesh=attrs.get("mesh"),
+                hfield=attrs.get("hfield"),
                 type=gtype,
                 body=body_id,
                 pos=pos,
@@ -995,7 +1023,7 @@ def _geom_mass_inertia(g: dict) -> tuple[float, np.ndarray]:
         vol = g["mesh_volume"]
         mass = g["mass"] if g["mass"] is not None else g["density"] * vol
         return mass, mass * np.asarray(g["mesh_unit_inertia"])
-    if t == GeomType.PLANE:
+    if t in (GeomType.PLANE, GeomType.HFIELD):
         return 0.0, np.zeros(3)
     if t == GeomType.SPHERE:
         vol = 4.0 / 3.0 * math.pi * r**3
@@ -1211,9 +1239,18 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
 
     # ----- mesh assets: process hulls, re-anchor mesh geoms -----
     mesh_names = [m["name"] for m in c.meshes]
+    hfield_names = [h["name"] for h in c.hfields]
     mesh_canonical: dict[int, np.ndarray] = {}
     geom_dataid = []
     for g in c.geoms:
+        if g["type"] == GeomType.HFIELD:
+            try:
+                geom_dataid.append(hfield_names.index(g["hfield"]))
+            except ValueError:
+                raise ModelError(
+                    f"geom references unknown hfield {g['hfield']!r}"
+                )
+            continue
         if g["type"] != GeomType.MESH:
             geom_dataid.append(-1)
             continue
@@ -1238,6 +1275,17 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         g["mesh_volume"] = mm["volume"]
         g["mesh_unit_inertia"] = mm["unit_inertia"]
         geom_dataid.append(mid)
+    nhfield = len(c.hfields)
+    hfield_adr, hfield_data_rows = [], []
+    adr_h = 0
+    for h in c.hfields:
+        hfield_adr.append(adr_h)
+        hfield_data_rows.append(h["data"].reshape(-1))
+        adr_h += h["nrow"] * h["ncol"]
+    hfield_data = (
+        np.concatenate(hfield_data_rows) if hfield_data_rows else None
+    )
+
     nmesh = len(c.meshes)
     if mesh_canonical:
         mesh_vertadr, mesh_vertnum = [], []
@@ -1277,6 +1325,9 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         t, s = g["type"], g["size"]
         if t == GeomType.PLANE:
             rbound[i] = 0.0
+        elif t == GeomType.HFIELD:
+            hs = c.hfields[geom_dataid[i]]["size"]
+            rbound[i] = float(np.linalg.norm(hs[:3]))
         elif t == GeomType.SPHERE:
             rbound[i] = s[0]
         elif t in (GeomType.CAPSULE, GeomType.CYLINDER):
@@ -1478,14 +1529,23 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
                                 geom_friction, geom_solref, geom_solimp,
                                 geom_margin, geom_gap)
 
-    # mesh collision narrowphase exists for plane-mesh only; reject other
-    # mesh pairings at compile time rather than at first trace
+    # mesh collision narrowphase exists for plane-mesh only, hfield only
+    # against spheres/capsules; reject other pairings at compile time
+    # rather than at first trace
     for p in pair_entries:
         ts = (geom_type[p["g1"]], geom_type[p["g2"]])
         if GeomType.MESH in ts and ts != (GeomType.PLANE, GeomType.MESH):
             raise UnsupportedFeatureError(
                 f"mesh collision supported against planes only, got pair "
                 f"{GeomType(ts[0]).name}-{GeomType(ts[1]).name}"
+            )
+        if GeomType.HFIELD in ts and ts not in (
+            (GeomType.HFIELD, GeomType.SPHERE),
+            (GeomType.HFIELD, GeomType.CAPSULE),
+        ):
+            raise UnsupportedFeatureError(
+                f"hfield collision supported against spheres/capsules only, "
+                f"got pair {GeomType(ts[0]).name}-{GeomType(ts[1]).name}"
             )
 
     # group by (type1, type2)
@@ -1660,6 +1720,13 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         mesh_vertadr=tuple(mesh_vertadr),
         mesh_vertnum=tuple(mesh_vertnum),
         mesh_vert=None if mesh_vert is None else f(mesh_vert),
+        nhfield=nhfield,
+        hfield_adr=tuple(hfield_adr),
+        hfield_nrow=tuple(h["nrow"] for h in c.hfields),
+        hfield_ncol=tuple(h["ncol"] for h in c.hfields),
+        hfield_size=(f(np.array([h["size"] for h in c.hfields])
+                       .reshape(nhfield, 4)) if nhfield else None),
+        hfield_data=None if hfield_data is None else f(hfield_data),
     )
     model = _set_const(model)
     if dtype != np.float64:

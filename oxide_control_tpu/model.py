@@ -348,10 +348,18 @@ class Model:
 
     # ----- mesh assets (convex hulls in canonical com/principal frame) ---
     nmesh: int = static_field(default=0)
-    geom_dataid: tuple = static_field(default=())   # mesh id per geom, -1
+    geom_dataid: tuple = static_field(default=())   # mesh/hfield id, -1
     mesh_vertadr: tuple = static_field(default=())
     mesh_vertnum: tuple = static_field(default=())
     mesh_vert: Any = None  # (sum vertnum, 3) leaf; None when nmesh == 0
+
+    # ----- height fields (normalized [0,1] elevation grids) --------------
+    nhfield: int = static_field(default=0)
+    hfield_adr: tuple = static_field(default=())
+    hfield_nrow: tuple = static_field(default=())
+    hfield_ncol: tuple = static_field(default=())
+    hfield_size: Any = None  # (nhfield, 4) [sx, sy, z_top, z_bottom] leaf
+    hfield_data: Any = None  # (sum nrow*ncol,) leaf; row-major by y
 
     # ----- derived helpers -----
 

@@ -40,6 +40,8 @@ def max_contacts_per_pair(t1: int, t2: int) -> int:
         return 8
     if pair == (GeomType.PLANE, GeomType.MESH):
         return 4
+    if pair == (GeomType.HFIELD, GeomType.CAPSULE):
+        return 2
     return 1
 
 
@@ -522,6 +524,90 @@ _PRIMS = {
 }
 
 
+def _hfield_surface(hsize, nrow, ncol, data, pl):
+    """Signed distance of a local point to the height-field surface.
+
+    ``data`` is the (nrow, ncol) normalized [0,1] elevation grid spanning
+    x in [-sx, sx] (cols) and y in [-sy, sy] (rows), surface height
+    z = data * hsize[2].  Each grid cell splits into two triangles (the
+    MuJoCo prism convention); the triangle under the query point supplies
+    the contact plane.  Returns (signed distance, upward unit normal).
+    """
+    sx, sy, sz = hsize[0], hsize[1], hsize[2]
+    dtype = pl.dtype
+    fx = (pl[0] + sx) / (2 * sx) * (ncol - 1)
+    fy = (pl[1] + sy) / (2 * sy) * (nrow - 1)
+    eps = 1e-6
+    fx = jnp.clip(fx, 0.0, ncol - 1 - eps)
+    fy = jnp.clip(fy, 0.0, nrow - 1 - eps)
+    i = jnp.floor(fx).astype(jnp.int32)
+    j = jnp.floor(fy).astype(jnp.int32)
+    u = fx - i
+    v = fy - j
+
+    dx = 2 * sx / (ncol - 1)
+    dy = 2 * sy / (nrow - 1)
+    x0 = -sx + i.astype(dtype) * dx
+    y0 = -sy + j.astype(dtype) * dy
+    z00 = data[j, i] * sz
+    z10 = data[j, i + 1] * sz
+    z01 = data[j + 1, i] * sz
+    z11 = data[j + 1, i + 1] * sz
+
+    lower = u + v <= 1.0
+    # lower triangle (00, 10, 01); upper triangle (11, 01, 10)
+    a = jnp.where(
+        lower,
+        jnp.stack([x0, y0, z00]),
+        jnp.stack([x0 + dx, y0 + dy, z11]),
+    )
+    b = jnp.where(
+        lower,
+        jnp.stack([x0 + dx, y0, z10]),
+        jnp.stack([x0, y0 + dy, z01]),
+    )
+    cc = jnp.where(
+        lower,
+        jnp.stack([x0, y0 + dy, z01]),
+        jnp.stack([x0 + dx, y0, z10]),
+    )
+    n = jnp.cross(b - a, cc - a)
+    n = n * jnp.sign(n[2])  # upward
+    n = n / jnp.maximum(jnp.linalg.norm(n), 1e-12)
+    return jnp.dot(n, pl - a), n
+
+
+def _hfield_sphere_at(hpos, hmat, hsize, nrow, ncol, data, center, r):
+    pl = hmat.T @ (center - hpos)
+    sd, nl = _hfield_surface(hsize, nrow, ncol, data, pl)
+    dist = sd - r
+    n = hmat @ nl
+    pos = center - n * (r + 0.5 * dist)
+    return dist, pos, n
+
+
+def _hfield_sphere(hpos, hmat, hsize, nrow, ncol, data, cpos, cmat, csize):
+    dist, pos, n = _hfield_sphere_at(
+        hpos, hmat, hsize, nrow, ncol, data, cpos, csize[0]
+    )
+    return dist[None], pos[None], make_frame(n)[None]
+
+
+def _hfield_capsule(hpos, hmat, hsize, nrow, ncol, data, cpos, cmat, csize):
+    r, h = csize[0], csize[1]
+    axis = cmat[:, 2]
+    out_d, out_p, out_f = [], [], []
+    for sign in (1.0, -1.0):
+        end = cpos + sign * h * axis
+        dist, pos, n = _hfield_sphere_at(
+            hpos, hmat, hsize, nrow, ncol, data, end, r
+        )
+        out_d.append(dist)
+        out_p.append(pos)
+        out_f.append(make_frame(n))
+    return jnp.stack(out_d), jnp.stack(out_p), jnp.stack(out_f)
+
+
 def _plane_mesh(ppos, pmat, mpos, mmat, verts):
     """Plane vs convex mesh: contact lanes on the 4 deepest hull vertices.
 
@@ -564,6 +650,31 @@ def collision(model: Model, d: Data) -> Data:
                 dist, pos, frame = _plane_mesh(
                     d.geom_xpos[g1], d.geom_xmat[g1],
                     d.geom_xpos[g2], d.geom_xmat[g2], verts,
+                )
+                dists.append(dist)
+                poss.append(pos)
+                frames.append(frame)
+                offset += dist.shape[0]
+            continue
+        if key in ((GeomType.HFIELD, GeomType.SPHERE),
+                   (GeomType.HFIELD, GeomType.CAPSULE)):
+            fn_h = (_hfield_sphere if key[1] == GeomType.SPHERE
+                    else _hfield_capsule)
+            for (g1, g2) in pairs:
+                hid = model.geom_dataid[g1]
+                nrow = model.hfield_nrow[hid]
+                ncol = model.hfield_ncol[hid]
+                adr = model.hfield_adr[hid]
+                data = jnp.asarray(
+                    model.hfield_data[adr : adr + nrow * ncol],
+                    dtype=d.qpos.dtype,
+                ).reshape(nrow, ncol)
+                hsize = jnp.asarray(model.hfield_size[hid],
+                                    dtype=d.qpos.dtype)
+                dist, pos, frame = fn_h(
+                    d.geom_xpos[g1], d.geom_xmat[g1], hsize, nrow, ncol,
+                    data, d.geom_xpos[g2], d.geom_xmat[g2],
+                    model.geom_size[g2],
                 )
                 dists.append(dist)
                 poss.append(pos)
