@@ -25,12 +25,13 @@ class _Cartpole:
 
     def init_episode(self, model: Model, data: Data, rng) -> Data:
         k1, k2, k3 = jax.random.split(rng, 3)
+        dt = data.qpos.dtype
         if self.swing_up:
-            x = 0.01 * jax.random.normal(k1)
-            theta = jnp.pi + 0.01 * jax.random.normal(k2)
+            x = 0.01 * jax.random.normal(k1, dtype=dt)
+            theta = (jnp.pi + 0.01 * jax.random.normal(k2, dtype=dt)).astype(dt)
         else:
-            x = uniform(k1, -0.1, 0.1)
-            theta = uniform(k2, -0.034, 0.034)
+            x = uniform(k1, -0.1, 0.1, dtype=dt)
+            theta = uniform(k2, -0.034, 0.034, dtype=dt)
         qpos = data.qpos.at[self._slider].set(x).at[self._hinge].set(theta)
         qvel = 0.01 * jax.random.normal(k3, (model.nv,), dtype=data.qvel.dtype)
         return data.replace(qpos=qpos, qvel=qvel)

@@ -31,8 +31,13 @@ def asset_path(name: str) -> str:
     return os.path.join(ASSET_DIR, f"{name}.xml")
 
 
-def uniform(rng, lo, hi, shape=()):
-    return lo + (hi - lo) * jax.random.uniform(rng, shape)
+def uniform(rng, lo, hi, shape=(), dtype=None):
+    u = jax.random.uniform(rng, shape) if dtype is None else \
+        jax.random.uniform(rng, shape, dtype=dtype)
+    val = lo + (hi - lo) * u
+    # keep the caller's storage dtype: under x64 the python-float bounds
+    # promote to f64, which scatter into an f32 qpos would reject
+    return val if dtype is None else val.astype(dtype)
 
 
 def randomize_limited_joints(model: Model, qpos, rng, fraction=1.0):
@@ -52,5 +57,5 @@ def randomize_limited_joints(model: Model, qpos, rng, fraction=1.0):
         mid = 0.5 * (lo + hi)
         half = 0.5 * (hi - lo) * fraction
         val = mid + uniform(keys[j], -half, half)
-        qpos = qpos.at[adr].set(val)
+        qpos = qpos.at[adr].set(jnp.asarray(val, dtype=qpos.dtype))
     return qpos

@@ -24,7 +24,7 @@ class SwingUp:
         self._hinge_qadr = model.jnt_qposadr[model.name2id("joint", "hinge")]
 
     def init_episode(self, model: Model, data: Data, rng) -> Data:
-        angle = uniform(rng, -jnp.pi, jnp.pi)
+        angle = uniform(rng, -jnp.pi, jnp.pi, dtype=data.qpos.dtype)
         qpos = data.qpos.at[self._hinge_qadr].set(angle)
         return data.replace(qpos=qpos)
 
