@@ -830,6 +830,8 @@ class _Compiler:
         "subtreecom": (SensorType.SUBTREECOM, 3, "body"),
         "subtreelinvel": (SensorType.SUBTREELINVEL, 3, "body"),
         "subtreeangmom": (SensorType.SUBTREEANGMOM, 3, "body"),
+        "e_potential": (SensorType.E_POTENTIAL, 1, "none"),
+        "e_kinetic": (SensorType.E_KINETIC, 1, "none"),
         "clock": (SensorType.CLOCK, 1, "none"),
     }
 

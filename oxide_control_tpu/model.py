@@ -124,6 +124,8 @@ class SensorType(enum.IntEnum):
     SUBTREECOM = 35
     SUBTREELINVEL = 36
     SUBTREEANGMOM = 37
+    E_POTENTIAL = 43
+    E_KINETIC = 44
     CLOCK = 45
 
 

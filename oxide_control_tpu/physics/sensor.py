@@ -30,13 +30,14 @@ _POS = (
     SensorType.BALLQUAT, SensorType.FRAMEPOS, SensorType.FRAMEQUAT,
     SensorType.FRAMEXAXIS, SensorType.FRAMEYAXIS, SensorType.FRAMEZAXIS,
     SensorType.SUBTREECOM, SensorType.MAGNETOMETER, SensorType.CLOCK,
-    SensorType.RANGEFINDER,
+    SensorType.RANGEFINDER, SensorType.E_POTENTIAL,
 )
 _VEL = (
     SensorType.VELOCIMETER, SensorType.GYRO, SensorType.JOINTVEL,
     SensorType.TENDONVEL, SensorType.ACTUATORVEL, SensorType.BALLANGVEL,
     SensorType.FRAMELINVEL, SensorType.FRAMEANGVEL,
     SensorType.SUBTREELINVEL, SensorType.SUBTREEANGMOM,
+    SensorType.E_KINETIC,
 )
 _ACC = (
     SensorType.TOUCH, SensorType.ACCELEROMETER, SensorType.FORCE,
@@ -276,6 +277,49 @@ def _rangefinder(model: Model, d: Data, site: int) -> jax.Array:
     return jnp.where(t_min >= _RAY_BIG, -1.0, t_min)
 
 
+def _energy_pos(model: Model, d: Data) -> jax.Array:
+    """mj_energyPos analog: gravity potential + joint/tendon spring energy
+    (the exact potentials whose gradients are smooth.passive's forces)."""
+    from ..model import JointType
+    from .smooth import tendon_jacobians
+
+    dtype = d.qpos.dtype
+    e = jnp.zeros((), dtype=dtype)
+    if not model.opt.disable_gravity:
+        g = jnp.asarray(model.opt.gravity, dtype=dtype)
+        mass = jnp.asarray(model.body_mass, dtype=dtype)
+        e = e - jnp.sum(mass * (d.xipos @ g))
+    for j in range(model.njnt):
+        stiff = model.jnt_stiffness[j]
+        jt = model.jnt_type[j]
+        qadr = model.jnt_qposadr[j]
+        if jt in (JointType.HINGE, JointType.SLIDE):
+            dq = d.qpos[qadr] - model.qpos_spring[qadr]
+            e = e + 0.5 * stiff * dq * dq
+        elif jt == JointType.BALL:
+            dif = maths.quat_sub(
+                d.qpos[qadr : qadr + 4], model.qpos_spring[qadr : qadr + 4]
+            )
+            e = e + 0.5 * stiff * jnp.dot(dif, dif)
+        else:  # free
+            dp = d.qpos[qadr : qadr + 3] - model.qpos_spring[qadr : qadr + 3]
+            dq = maths.quat_sub(
+                d.qpos[qadr + 3 : qadr + 7],
+                model.qpos_spring[qadr + 3 : qadr + 7],
+            )
+            e = e + 0.5 * stiff * (jnp.dot(dp, dp) + jnp.dot(dq, dq))
+    if model.ntendon:
+        _, tq = tendon_jacobians(model, dtype)
+        length = tq @ d.qpos
+        lo = model.tendon_lengthspring[:, 0]
+        hi = model.tendon_lengthspring[:, 1]
+        disp = jnp.where(
+            length < lo, lo - length, jnp.where(length > hi, length - hi, 0.0)
+        )
+        e = e + jnp.sum(0.5 * model.tendon_stiffness * disp * disp)
+    return e
+
+
 def sensor_pos(model: Model, d: Data) -> Data:
     """Position-stage sensors (mj_sensorPos analog)."""
     if not _has_stage(model, _POS):
@@ -340,6 +384,8 @@ def sensor_pos(model: Model, d: Data) -> Data:
             val = d.site_xmat[oid].T @ mag
         elif st == SensorType.RANGEFINDER:
             val = _rangefinder(model, d, oid)[None]
+        elif st == SensorType.E_POTENTIAL:
+            val = _energy_pos(model, d)[None]
         else:  # CLOCK
             val = d.time[None].astype(dtype)
         sd = jax.lax.dynamic_update_slice(
@@ -408,6 +454,8 @@ def sensor_vel(model: Model, d: Data) -> Data:
                 val = v if st == SensorType.FRAMELINVEL else w
         elif st == SensorType.SUBTREELINVEL:
             val = sub_lin[oid]
+        elif st == SensorType.E_KINETIC:
+            val = (0.5 * jnp.dot(d.qvel, d.qM @ d.qvel))[None]
         else:  # SUBTREEANGMOM
             val = sub_mom[oid]
         sd = jax.lax.dynamic_update_slice(

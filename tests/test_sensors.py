@@ -28,7 +28,7 @@ ARM_XML = """
       <geom name="upper_geom" type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" mass="1"/>
       <site name="imu" pos="0.15 0 0.02" euler="10 20 30"/>
       <body name="lower" pos="0.3 0 0">
-        <joint name="elbow" type="hinge" axis="0 1 0" damping="0.1"/>
+        <joint name="elbow" type="hinge" axis="0 1 0" damping="0.1" stiffness="3"/>
         <geom name="lower_geom" type="capsule" fromto="0 0 0 0.25 0 0" size="0.025" mass="0.5"/>
         <site name="tip" pos="0.25 0 0"/>
         <body name="flail" pos="0.25 0 0">
@@ -39,7 +39,7 @@ ARM_XML = """
     </body>
   </worldbody>
   <tendon>
-    <fixed name="coupler">
+    <fixed name="coupler" stiffness="2" springlength="0.1">
       <joint joint="shoulder" coef="0.5"/>
       <joint joint="elbow" coef="-1.0"/>
     </fixed>
@@ -76,6 +76,8 @@ ARM_XML = """
     <framelinacc name="s_fla" objtype="body" objname="lower"/>
     <frameangacc name="s_faa" objtype="body" objname="flail"/>
     <clock name="s_clock"/>
+    <e_potential name="s_ep"/>
+    <e_kinetic name="s_ek"/>
     <jointvel name="s_cut" joint="shoulder" cutoff="0.25"/>
   </sensor>
 </mujoco>
