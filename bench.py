@@ -44,6 +44,13 @@ CONFIGS = (
     ("cheetah", "run", 4096, 200),
     ("walker", "walk", 4096, 200),
     ("humanoid", "run", 8192, 100),
+    # deliberately NOT kernel-eligible (VERDICT r2 item 1): these measure
+    # the general vmapped pipeline on chip.  run-elliptic = cheetah with
+    # elliptic friction cones (kernel Newton is pyramidal-only);
+    # walk-tendon-sensors = walker + coupling tendon with frictionloss +
+    # IMU sensor suite (tendon friction rows + sensor evaluation)
+    ("cheetah", "run-elliptic", 4096, 50),
+    ("walker", "walk-tendon-sensors", 4096, 50),
 )
 HEADLINE = ("cheetah", "run")
 WARMUP_CALLS = 1
@@ -126,8 +133,49 @@ def bench_general(benv, steps_per_call):
     return wall, compile_s, "general-vmap", stats
 
 
+def load_config(domain, task, batch):
+    """Suite configs plus the general-path variant configs."""
+    import dataclasses
+
+    from oxide_control_tpu.api.environment import BatchedEnvironment
+
+    if (domain, task) == ("cheetah", "run-elliptic"):
+        from oxide_control_tpu.model import ConeType
+        from oxide_control_tpu.suite import cheetah
+
+        model, task_obj = cheetah.run(dtype=np.float32)
+        model = model.replace(
+            opt=dataclasses.replace(model.opt, cone=ConeType.ELLIPTIC)
+        )
+        return BatchedEnvironment(model, task_obj, batch)
+    if (domain, task) == ("walker", "walk-tendon-sensors"):
+        from oxide_control_tpu import load_model_from_xml
+        from oxide_control_tpu.suite import walker
+        from oxide_control_tpu.suite.common import asset_path
+
+        extras = """
+  <tendon>
+    <fixed name="knee_coupler" frictionloss="0.05">
+      <joint joint="left_knee" coef="0.5"/>
+      <joint joint="right_knee" coef="-0.5"/>
+    </fixed>
+  </tendon>
+  <sensor>
+    <gyro site="torso_site"/>
+    <accelerometer site="torso_site"/>
+    <velocimeter site="torso_site"/>
+    <framepos objtype="site" objname="torso_site"/>
+  </sensor>
+</mujoco>"""
+        xml = open(asset_path("walker")).read().replace("</mujoco>", extras)
+        model = load_model_from_xml(xml, dtype=np.float32)
+        _, task_obj = walker.walk(model=model)
+        return BatchedEnvironment(model, task_obj, batch)
+    return suite.load_batched(domain, task, batch, dtype=np.float32)
+
+
 def bench_config(domain, task, batch, steps_per_call):
-    benv = suite.load_batched(domain, task, batch, dtype=np.float32)
+    benv = load_config(domain, task, batch)
     stats = {}
     if rollout_mod.fast_rollout_supported(benv):
         wall, compile_s, path = bench_fast(benv, steps_per_call)

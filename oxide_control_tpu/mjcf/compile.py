@@ -229,6 +229,7 @@ class _Compiler:
         self.hfields: list[dict] = []
         self.excludes: list[tuple[str, str]] = []
         self.explicit_pairs: list[dict] = []
+        self.keyframes: list[dict] = []
 
     # -- angle conversion ---------------------------------------------------
 
@@ -314,6 +315,28 @@ class _Compiler:
         self._parse_equality()
         self._parse_contact()
         self._parse_sensors()
+        self._parse_keyframes()
+
+    def _parse_keyframes(self):
+        """<keyframe><key .../> (mjModel.key_* analog).  Attributes omitted
+        on a key default at model-build time: qpos -> qpos0, the rest -> 0."""
+        root = self.root.find("keyframe")
+        if root is None:
+            return
+        for elem in root:
+            if elem.tag != "key":
+                raise ModelError(f"unexpected <{elem.tag}> inside <keyframe>")
+            attrs = dict(elem.attrib)
+            self.keyframes.append(
+                dict(
+                    name=attrs.get("name", f"key{len(self.keyframes)}"),
+                    time=float(attrs.get("time", 0.0)),
+                    qpos=(_floats(attrs["qpos"]) if "qpos" in attrs else None),
+                    qvel=(_floats(attrs["qvel"]) if "qvel" in attrs else None),
+                    act=(_floats(attrs["act"]) if "act" in attrs else None),
+                    ctrl=(_floats(attrs["ctrl"]) if "ctrl" in attrs else None),
+                )
+            )
 
     # -- assets -------------------------------------------------------------
 
@@ -570,12 +593,30 @@ class _Compiler:
     def _add_site(self, elem: ET.Element, body_id: int, cls: str):
         attrs = self._resolved(elem, cls)
         sid = len(self.sites)
+        stype = _GEOM_TYPES.get(attrs.get("type", "sphere"))
+        if stype is None:
+            raise UnsupportedFeatureError(
+                f"unsupported site type {attrs.get('type')!r}"
+            )
+        # MuJoCo default site size is 0.005 in every slot
+        size = _attr_floats(attrs, "size", [0.005, 0.005, 0.005], 3)
+        pos = _attr_floats(attrs, "pos", [0, 0, 0], 3)
+        quat = self._orientation(attrs)
+        if "fromto" in attrs:
+            ft = _floats(attrs["fromto"])
+            a, b = ft[:3], ft[3:6]
+            pos = 0.5 * (a + b)
+            quat = _quat_from_zaxis(a - b)
+            size = size.copy()
+            size[1] = 0.5 * np.linalg.norm(b - a)
         self.sites.append(
             dict(
                 name=attrs.get("name", f"site{sid}"),
                 body=body_id,
-                pos=_attr_floats(attrs, "pos", [0, 0, 0], 3),
-                quat=self._orientation(attrs),
+                type=stype,
+                pos=pos,
+                quat=quat,
+                size=size,
             )
         )
         self.bodies[body_id]["site_ids"].append(sid)
@@ -811,6 +852,12 @@ class _Compiler:
         "jointpos": (SensorType.JOINTPOS, 1, "joint"),
         "jointvel": (SensorType.JOINTVEL, 1, "joint"),
         "jointactuatorfrc": (SensorType.JOINTACTFRC, 1, "joint"),
+        "jointlimitpos": (SensorType.JOINTLIMITPOS, 1, "joint"),
+        "jointlimitvel": (SensorType.JOINTLIMITVEL, 1, "joint"),
+        "jointlimitfrc": (SensorType.JOINTLIMITFRC, 1, "joint"),
+        "tendonlimitpos": (SensorType.TENDONLIMITPOS, 1, "tendon"),
+        "tendonlimitvel": (SensorType.TENDONLIMITVEL, 1, "tendon"),
+        "tendonlimitfrc": (SensorType.TENDONLIMITFRC, 1, "tendon"),
         "ballquat": (SensorType.BALLQUAT, 4, "joint"),
         "ballangvel": (SensorType.BALLANGVEL, 3, "joint"),
         "tendonpos": (SensorType.TENDONPOS, 1, "tendon"),
@@ -1421,6 +1468,7 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         equality=tuple(e["name"] for e in c.equalities),
         tendon=tuple(t["name"] for t in c.tendons),
         sensor=tuple(s["name"] for s in c.sensors),
+        keyframe=tuple(k["name"] for k in c.keyframes),
     )
 
     # ----- tendons (fixed) -----
@@ -1590,6 +1638,27 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
 
     f = lambda x: np.asarray(x, dtype=np.float64)
 
+    # ----- keyframes: fill omitted fields (qpos -> qpos0, rest -> 0) -----
+    nkey = len(c.keyframes)
+    key_qpos = np.tile(qpos0, (nkey, 1)) if nkey else None
+    key_qvel = np.zeros((nkey, nv)) if nkey else None
+    key_act = np.zeros((nkey, na)) if nkey else None
+    key_ctrl = np.zeros((nkey, nu)) if nkey else None
+    key_time = np.zeros(nkey) if nkey else None
+    for ki, kf in enumerate(c.keyframes):
+        key_time[ki] = kf["time"]
+        for field, dst, width in (
+            ("qpos", key_qpos, nq), ("qvel", key_qvel, nv),
+            ("act", key_act, na), ("ctrl", key_ctrl, nu),
+        ):
+            if kf[field] is not None:
+                if len(kf[field]) != width:
+                    raise ModelError(
+                        f"keyframe {kf['name']!r} {field} has "
+                        f"{len(kf[field])} values, expected {width}"
+                    )
+                dst[ki] = kf[field]
+
     model = Model(
         nq=nq, nv=nv, nu=nu, na=na, nbody=nbody, njnt=njnt, ngeom=ngeom,
         nsite=nsite, neq=neq, nmocap=nmocap, ntendon=ntendon,
@@ -1636,6 +1705,7 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         geom_condim=tuple(geom_condim),
         geom_priority=tuple(geom_priority),
         site_bodyid=tuple(s["body"] for s in c.sites),
+        site_type=tuple(int(s["type"]) for s in c.sites),
         actuator_trntype=tuple(int(a["trntype"]) for a in c.actuators),
         actuator_trnid=tuple(actuator_trnid),
         actuator_gaintype=tuple(int(a["gaintype"]) for a in c.actuators),
@@ -1689,6 +1759,7 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         geom_rbound=f(rbound),
         site_pos=f(np.array([s["pos"] for s in c.sites]).reshape(nsite, 3)),
         site_quat=f(np.array([s["quat"] for s in c.sites]).reshape(nsite, 4)),
+        site_size=f(np.array([s["size"] for s in c.sites]).reshape(nsite, 3)),
         actuator_gear=f(np.array([a["gear"] for a in c.actuators]).reshape(nu, 6)),
         actuator_ctrlrange=f(np.array([a["ctrlrange"] for a in c.actuators]).reshape(nu, 2)),
         actuator_forcerange=f(np.array([a["forcerange"] for a in c.actuators]).reshape(nu, 2)),
@@ -1729,6 +1800,12 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         hfield_size=(f(np.array([h["size"] for h in c.hfields])
                        .reshape(nhfield, 4)) if nhfield else None),
         hfield_data=None if hfield_data is None else f(hfield_data),
+        nkey=nkey,
+        key_time=None if key_time is None else f(key_time),
+        key_qpos=None if key_qpos is None else f(key_qpos),
+        key_qvel=None if key_qvel is None else f(key_qvel),
+        key_act=None if key_act is None else f(key_act),
+        key_ctrl=None if key_ctrl is None else f(key_ctrl),
     )
     model = _set_const(model)
     if dtype != np.float64:

@@ -112,6 +112,12 @@ class SensorType(enum.IntEnum):
     JOINTACTFRC = 16
     BALLQUAT = 18
     BALLANGVEL = 19
+    JOINTLIMITPOS = 20
+    JOINTLIMITVEL = 21
+    JOINTLIMITFRC = 22
+    TENDONLIMITPOS = 23
+    TENDONLIMITVEL = 24
+    TENDONLIMITFRC = 25
     FRAMEPOS = 26
     FRAMEQUAT = 27
     FRAMEXAXIS = 28
@@ -355,6 +361,18 @@ class Model:
     mesh_vertnum: tuple = static_field(default=())
     mesh_vert: Any = None  # (sum vertnum, 3) leaf; None when nmesh == 0
 
+    # ----- site shapes (for touch-sensor volume clipping; mjtGeom vals) --
+    site_type: tuple = static_field(default=())
+    site_size: Any = None  # (nsite, 3) leaf; None for older constructors
+
+    # ----- keyframes (<keyframe><key .../>; mj_resetDataKeyframe analog) -
+    nkey: int = static_field(default=0)
+    key_time: Any = None  # (nkey,) leaf
+    key_qpos: Any = None  # (nkey, nq)
+    key_qvel: Any = None  # (nkey, nv)
+    key_act: Any = None   # (nkey, na)
+    key_ctrl: Any = None  # (nkey, nu)
+
     # ----- height fields (normalized [0,1] elevation grids) --------------
     nhfield: int = static_field(default=0)
     hfield_adr: tuple = static_field(default=())
@@ -409,9 +427,10 @@ class NameTables:
     equality: tuple = ()
     tendon: tuple = ()
     sensor: tuple = ()
+    keyframe: tuple = ()
 
     _TYPES = ("body", "joint", "geom", "site", "actuator", "equality",
-              "tendon", "sensor")
+              "tendon", "sensor", "keyframe")
 
     def name2id(self, objtype: str, name: str) -> int:
         table = getattr(self, objtype)

@@ -41,7 +41,7 @@ def max_contacts_per_pair(t1: int, t2: int) -> int:
     if pair == (GeomType.PLANE, GeomType.MESH):
         return 4
     if pair == (GeomType.HFIELD, GeomType.CAPSULE):
-        return 2
+        return 3
     return 1
 
 
@@ -594,11 +594,16 @@ def _hfield_sphere(hpos, hmat, hsize, nrow, ncol, data, cpos, cmat, csize):
 
 
 def _hfield_capsule(hpos, hmat, hsize, nrow, ncol, data, cpos, cmat, csize):
+    """Capsule vs height field: sphere queries at the two end caps plus the
+    segment midpoint, so a capsule bridging a ridge or peak between its
+    endpoints still collides (a midpoint-only gap remains for features
+    narrower than half the capsule length — finer terrain needs a denser
+    grid or shorter capsules)."""
     r, h = csize[0], csize[1]
     axis = cmat[:, 2]
     out_d, out_p, out_f = [], [], []
-    for sign in (1.0, -1.0):
-        end = cpos + sign * h * axis
+    for t in (1.0, -1.0, 0.0):
+        end = cpos + t * h * axis
         dist, pos, n = _hfield_sphere_at(
             hpos, hmat, hsize, nrow, ncol, data, end, r
         )

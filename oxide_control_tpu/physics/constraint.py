@@ -123,6 +123,46 @@ def nefc(model: Model) -> int:
     return n
 
 
+def limit_row_map(model: Model) -> dict:
+    """Static ordered map ('joint'|'tendon', objid) -> efc row index of its
+    limit row.  The jointlimit*/tendonlimit* sensors read these rows; the
+    value order here defines the layout of ``Data.efc_limit``."""
+    n = 0
+    for t in model.eq_type:
+        n += {EqType.CONNECT: 3, EqType.WELD: 6, EqType.JOINT: 1}[EqType(t)]
+    n += len(_friction_dofs(model))
+    n += len(_friction_tendons(model))
+    out = {}
+    for j in _limit_joints(model):
+        out[("joint", j)] = n
+        n += 1
+    for j in _ball_limit_joints(model):
+        out[("joint", j)] = n
+        n += 1
+    for t in _limit_tendons(model):
+        out[("tendon", t)] = n
+        n += 1
+    return out
+
+
+def n_limit_rows(model: Model) -> int:
+    """Static number of limit rows (= rows of ``Data.efc_limit``);
+    independent of the trace-dependent friction-row layout."""
+    return (len(_limit_joints(model)) + len(_ball_limit_joints(model))
+            + len(_limit_tendons(model)))
+
+
+def _needs_limit_sensor(model: Model) -> bool:
+    from ..model import SensorType
+
+    lim_types = (
+        SensorType.JOINTLIMITPOS, SensorType.JOINTLIMITVEL,
+        SensorType.JOINTLIMITFRC, SensorType.TENDONLIMITPOS,
+        SensorType.TENDONLIMITVEL, SensorType.TENDONLIMITFRC,
+    )
+    return any(SensorType(t) in lim_types for t in model.sensor_type)
+
+
 # ---------------------------------------------------------------------------
 # impedance / reference acceleration
 # ---------------------------------------------------------------------------
@@ -921,7 +961,7 @@ def _solve_cg(model: Model, d: Data, efc):
     p0 = -mg0
 
     def body(_, carry):
-        x, jar, g, mg, p = carry
+        x, jar, g, mg, p, cost, niter = carry
         jp = J @ p
         mp = qM @ p
         d0_gauss = jnp.dot(p, qM @ x - qfrc_smooth)
@@ -935,10 +975,21 @@ def _solve_cg(model: Model, d: Data, efc):
         beta = jnp.dot(g_new, mg_new - mg) / jnp.where(denom > 1e-30, denom, 1.0)
         beta = jnp.maximum(beta, 0.0)
         p = -mg_new + beta * p
-        return x, jar, g_new, mg_new, p
+        # observability (SURVEY.md §5.5): like the Newton solver, count only
+        # iterations that still improved the cost beyond tolerance, so
+        # solver_niter is a measured iterations-to-convergence figure
+        new_cost = _cost(efc, x, qacc_smooth, jar, qM)
+        improved = (cost - new_cost) > model.opt.tolerance * jnp.maximum(
+            1.0, jnp.abs(cost)
+        )
+        return x, jar, g_new, mg_new, p, new_cost, niter + improved.astype(
+            jnp.int32
+        )
 
-    x, jar, *_ = jax.lax.fori_loop(
-        0, model.opt.iterations, body, (x0, jar0, g0, mg0, p0)
+    c0 = jnp.minimum(c_ws, c_sm)
+    x, jar, _, _, _, cost, niter = jax.lax.fori_loop(
+        0, model.opt.iterations, body,
+        (x0, jar0, g0, mg0, p0, c0, jnp.zeros((), dtype=jnp.int32)),
     )
     f = _efc_force(efc, jar)
     qfrc_constraint = J.T @ f
@@ -949,9 +1000,9 @@ def _solve_cg(model: Model, d: Data, efc):
         qfrc_constraint=qfrc_constraint,
         qacc_warmstart=x,
         nefc_active=jnp.sum(efc["exists"], dtype=jnp.int32),
-        solver_cost=_cost(efc, x, qacc_smooth, jar, qM),
+        solver_cost=cost,
         solver_gradnorm=jnp.linalg.norm(grad_of(x, jar)),
-        solver_niter=jnp.asarray(model.opt.iterations, dtype=jnp.int32),
+        solver_niter=niter,
     )
 
 
@@ -1116,10 +1167,18 @@ def _solve_pgs(model: Model, d: Data, efc):
         fi = jnp.where(exists[i], fi, 0.0)
         return f.at[i].set(fi)
 
-    def sweep(_, f):
-        return jax.lax.fori_loop(0, ne, row_update, f)
+    def sweep(_, carry):
+        f, niter = carry
+        f_new = jax.lax.fori_loop(0, ne, row_update, f)
+        # observability: count sweeps that still moved the iterate beyond
+        # tolerance (sup-norm of the force change), like the primal solvers
+        moved = jnp.max(jnp.abs(f_new - f)) > model.opt.tolerance
+        return f_new, niter + moved.astype(jnp.int32)
 
-    f = jax.lax.fori_loop(0, model.opt.iterations, sweep, f0)
+    f, niter = jax.lax.fori_loop(
+        0, model.opt.iterations, sweep,
+        (f0, jnp.zeros((), dtype=jnp.int32)),
+    )
     qfrc_constraint = J.T @ f
     qacc = d.qacc_smooth + minv_jt @ f
     # dual solver: report the primal cost at the returned qacc and the dual
@@ -1134,7 +1193,7 @@ def _solve_pgs(model: Model, d: Data, efc):
         nefc_active=jnp.sum(exists, dtype=jnp.int32),
         solver_cost=_cost(efc, qacc, d.qacc_smooth, J @ qacc - aref, qM),
         solver_gradnorm=jnp.linalg.norm(jnp.where(exists, proj, 0.0)),
-        solver_niter=jnp.asarray(model.opt.iterations, dtype=jnp.int32),
+        solver_niter=niter,
     )
 
 
@@ -1212,4 +1271,15 @@ def fwd_constraint(model: Model, d: Data) -> Data:
         d = _solve_cg(model, d, efc)
     if _needs_contact_force(model):
         d = d.replace(contact_force=contact_forces(model, d, efc, d.qacc))
+    if _needs_limit_sensor(model) and n_limit_rows(model):
+        # per-limit-row (pos - margin, vel, force) snapshot for the
+        # jointlimit*/tendonlimit* sensors (efc_pos/efc_vel/efc_force
+        # analogs restricted to limit rows; inactive rows report 0)
+        rows_idx = np.array(list(limit_row_map(model).values()))
+        jar = efc["J"] @ d.qacc - efc["aref"]
+        f = _efc_force(efc, jar)
+        vel = efc["J"] @ d.qvel
+        trip = jnp.stack([efc["pos"], vel, f], axis=-1)
+        trip = jnp.where(efc["exists"][:, None], trip, 0.0)
+        d = d.replace(efc_limit=trip[rows_idx])
     return d

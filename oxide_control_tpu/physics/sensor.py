@@ -43,14 +43,36 @@ _ACC = (
     SensorType.TOUCH, SensorType.ACCELEROMETER, SensorType.FORCE,
     SensorType.TORQUE, SensorType.ACTUATORFRC, SensorType.JOINTACTFRC,
     SensorType.FRAMELINACC, SensorType.FRAMEANGACC,
+    # limit sensors read the post-solve Data.efc_limit snapshot, so all six
+    # evaluate in the acc stage here (MuJoCo stages pos/vel variants
+    # earlier, but the values agree after a full forward: same qpos/qvel)
+    SensorType.JOINTLIMITPOS, SensorType.JOINTLIMITVEL,
+    SensorType.JOINTLIMITFRC, SensorType.TENDONLIMITPOS,
+    SensorType.TENDONLIMITVEL, SensorType.TENDONLIMITFRC,
 )
 
 # sensors whose value is nonnegative by construction (mjDATATYPE_POSITIVE):
 # cutoff clamps the top only.  NOTE rangefinder is datatype REAL in MuJoCo
 # (its miss value -1 gets clipped to -cutoff), verified empirically.
 _POSITIVE = (SensorType.TOUCH,)
-# quaternion-valued sensors: cutoff does not apply
-_QUAT = (SensorType.BALLQUAT, SensorType.FRAMEQUAT)
+_LIMIT_SENSORS = (
+    SensorType.JOINTLIMITPOS, SensorType.JOINTLIMITVEL,
+    SensorType.JOINTLIMITFRC, SensorType.TENDONLIMITPOS,
+    SensorType.TENDONLIMITVEL, SensorType.TENDONLIMITFRC,
+)
+
+
+def _limit_row_map(model: Model):
+    from .constraint import limit_row_map
+
+    return limit_row_map(model)
+# sensors whose datatype exempts them from cutoff clamping: quaternions
+# (mjDATATYPE_QUATERNION) and unit axes (mjDATATYPE_AXIS) — MuJoCo skips
+# the cutoff for both, so a user cutoff < 1 must not corrupt a unit axis
+_NO_CUTOFF = (
+    SensorType.BALLQUAT, SensorType.FRAMEQUAT,
+    SensorType.FRAMEXAXIS, SensorType.FRAMEYAXIS, SensorType.FRAMEZAXIS,
+)
 
 
 def _has_stage(model: Model, types) -> bool:
@@ -59,7 +81,7 @@ def _has_stage(model: Model, types) -> bool:
 
 def _cutoff(model: Model, i: int, val: jax.Array) -> jax.Array:
     st = SensorType(model.sensor_type[i])
-    if st in _QUAT:
+    if st in _NO_CUTOFF:
         return val
     c = model.sensor_cutoff[i]
     if st in _POSITIVE:
@@ -195,14 +217,14 @@ def _ray_geom(gtype: int, gpos, gmat, gsize, p, v, dtype):
     if gt == GeomType.SPHERE:
         return _ray_sphere_at(gpos, gsize[0], p, v)
     if gt == GeomType.PLANE:
-        # top face of the z<=0 halfspace; respect finite size if given
+        # top face of the z<=0 halfspace; respect finite size if given.
+        # gsize may be a traced leaf (model passed as a jit argument), so
+        # the finite-size checks must be logical ops, not python branches.
         t = jnp.where(jnp.abs(vl[2]) > 1e-15, -pl[2] / vl[2], _RAY_BIG)
         hit = pl + t * vl
         ok = (t >= 0) & (vl[2] < 0)
-        if gsize[0] > 0:
-            ok = ok & (jnp.abs(hit[0]) <= gsize[0])
-        if gsize[1] > 0:
-            ok = ok & (jnp.abs(hit[1]) <= gsize[1])
+        ok = ok & ((gsize[0] <= 0) | (jnp.abs(hit[0]) <= gsize[0]))
+        ok = ok & ((gsize[1] <= 0) | (jnp.abs(hit[1]) <= gsize[1]))
         return jnp.where(ok, t, _RAY_BIG)
     if gt == GeomType.CAPSULE:
         r, h = gsize[0], gsize[1]
@@ -488,7 +510,22 @@ def sensor_acc(model: Model, d: Data) -> Data:
             continue
         adr = model.sensor_adr[i]
         oid = model.sensor_objid[i]
-        if st == SensorType.ACTUATORFRC:
+        if st in _LIMIT_SENSORS:
+            kind = "tendon" if st in (
+                SensorType.TENDONLIMITPOS, SensorType.TENDONLIMITVEL,
+                SensorType.TENDONLIMITFRC,
+            ) else "joint"
+            col = {
+                SensorType.JOINTLIMITPOS: 0, SensorType.TENDONLIMITPOS: 0,
+                SensorType.JOINTLIMITVEL: 1, SensorType.TENDONLIMITVEL: 1,
+                SensorType.JOINTLIMITFRC: 2, SensorType.TENDONLIMITFRC: 2,
+            }[st]
+            keys = list(_limit_row_map(model).keys())
+            if (kind, oid) in keys:
+                val = d.efc_limit[keys.index((kind, oid)), col][None]
+            else:  # unlimited joint/tendon: no limit row, always 0
+                val = jnp.zeros((1,), dtype=dtype)
+        elif st == SensorType.ACTUATORFRC:
             val = d.actuator_force[oid][None]
         elif st == SensorType.JOINTACTFRC:
             val = d.qfrc_actuator[model.jnt_dofadr[oid]][None]
@@ -593,11 +630,37 @@ def _site_wrench(model: Model, d: Data, cfrc_int: jax.Array, body: int,
     return jnp.concatenate([trq, f[3:]])
 
 
+def _inside_site(model: Model, d: Data, sid: int, p: jax.Array) -> jax.Array:
+    """True if world point ``p`` lies inside site ``sid``'s volume
+    (mju_insideGeom analog for the site shapes touch sensors use)."""
+    from ..model import GeomType
+
+    lp = d.site_xmat[sid].T @ (p - d.site_xpos[sid])
+    s = model.site_size[sid]
+    st = GeomType(model.site_type[sid])
+    if st == GeomType.SPHERE:
+        return jnp.dot(lp, lp) <= s[0] * s[0]
+    if st == GeomType.CAPSULE:
+        zc = jnp.clip(lp[2], -s[1], s[1])
+        dv = lp - jnp.array([0.0, 0.0, 1.0], dtype=lp.dtype) * zc
+        return jnp.dot(dv, dv) <= s[0] * s[0]
+    if st == GeomType.ELLIPSOID:
+        q = lp / jnp.maximum(s, 1e-12)
+        return jnp.dot(q, q) <= 1.0
+    if st == GeomType.CYLINDER:
+        return (jnp.abs(lp[2]) <= s[1]) & (
+            lp[0] * lp[0] + lp[1] * lp[1] <= s[0] * s[0]
+        )
+    if st == GeomType.BOX:
+        return jnp.all(jnp.abs(lp) <= s)
+    return jnp.asarray(True)  # plane/mesh sites: no volume test
+
+
 def _touch_forces(model: Model, d: Data) -> jax.Array:
-    """Per-site summed normal contact force for touch sensors: contacts on
-    a geom of the site's body contribute their normal-force magnitude
-    (mjSENS_TOUCH analog; MuJoCo's site-volume clipping is approximated by
-    body ownership, exact for the common one-site-per-body idiom)."""
+    """Per-site summed normal contact force for touch sensors: contacts
+    whose point lies inside the site volume and whose geoms touch the
+    site's body contribute their normal-force magnitude (mjSENS_TOUCH
+    analog with MuJoCo's site-volume clipping)."""
     dtype = d.qpos.dtype
     cf = d.contact_force
     con = d.contact
@@ -607,10 +670,15 @@ def _touch_forces(model: Model, d: Data) -> jax.Array:
         for i in range(model.nsensor)
         if SensorType(model.sensor_type[i]) == SensorType.TOUCH
     }
+    have_size = model.site_size is not None and len(model.site_type) > 0
     for li, (b1, b2) in enumerate(_lane_bodies(model)):
         normal = con.frame[li, 0]
         fn = jnp.abs(jnp.dot(cf[li, 3:], normal))
         for sid, sb in site_bodies.items():
             if sb in (b1, b2):
-                out = out.at[sid].add(fn)
+                if have_size:
+                    inside = _inside_site(model, d, sid, con.pos[li])
+                    out = out.at[sid].add(jnp.where(inside, fn, 0.0))
+                else:
+                    out = out.at[sid].add(fn)
     return out

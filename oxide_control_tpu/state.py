@@ -105,6 +105,10 @@ class Data:
 
     # ----- sensors -----
     sensordata: jax.Array      # (nsensordata,)
+    # per-limit-row (pos - margin, vel, force); populated only when the
+    # model has jointlimit*/tendonlimit* sensors (constraint.limit_row_map
+    # defines the row order)
+    efc_limit: jax.Array       # (nlimitrow, 3)
 
     # ----- solver observability (SURVEY.md §5.5) -----
     solver_cost: jax.Array     # () final constraint-solver cost
@@ -114,6 +118,12 @@ class Data:
     @property
     def ncon(self) -> int:
         return self.contact.dist.shape[-1]
+
+
+def _n_limit_rows(model: Model) -> int:
+    from .physics.constraint import n_limit_rows
+
+    return n_limit_rows(model)
 
 
 def _ncon_slots(model: Model) -> int:
@@ -208,6 +218,7 @@ def make_data(model: Model) -> Data:
         qacc=z(nv),
         contact_force=z(ncon, 6),
         sensordata=z(model.nsensordata),
+        efc_limit=z(_n_limit_rows(model), 3),
         solver_cost=jnp.zeros((), dtype=dtype),
         solver_gradnorm=jnp.zeros((), dtype=dtype),
         solver_niter=jnp.zeros((), dtype=jnp.int32),
@@ -223,4 +234,32 @@ def reset_data(model: Model, data: Data) -> Data:
     fresh = make_data(model)
     return jax.tree.map(
         lambda f, d: jnp.broadcast_to(f.astype(d.dtype), d.shape), fresh, data
+    )
+
+
+def reset_data_keyframe(model: Model, data: Data, key: int | str) -> Data:
+    """mj_resetDataKeyframe analog: reset, then load qpos/qvel/act/ctrl/time
+    from model keyframe ``key`` (index or name).  Batched Data resets every
+    env lane to the keyframe."""
+    if isinstance(key, str):
+        idx = model.name2id("keyframe", key)
+        if idx < 0:
+            from .api.errors import NameNotFoundError
+
+            raise NameNotFoundError(f"keyframe {key!r} not found")
+        key = idx
+    if not 0 <= key < model.nkey:
+        raise IndexError(f"keyframe index {key} out of range [0, {model.nkey})")
+    d = reset_data(model, data)
+    dtype = d.qpos.dtype
+
+    def bc(arr, like):
+        return jnp.broadcast_to(jnp.asarray(arr, dtype=like.dtype), like.shape)
+
+    return d.replace(
+        time=bc(jnp.asarray(model.key_time[key], dtype=dtype), d.time),
+        qpos=bc(model.key_qpos[key], d.qpos),
+        qvel=bc(model.key_qvel[key], d.qvel),
+        act=bc(model.key_act[key], d.act),
+        ctrl=bc(model.key_ctrl[key], d.ctrl),
     )

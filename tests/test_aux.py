@@ -156,3 +156,67 @@ def test_solver_observability_stats():
     assert 1 <= niter <= m.opt.iterations
     assert np.isfinite(float(d.solver_cost))
     assert np.isfinite(float(d.solver_gradnorm))
+
+
+def test_efc_layout_traced_vs_concrete():
+    """The efc row layout is trace-dependent (constraint._friction_dofs
+    gives every dof a row when the model leaves are traced, only >0 dofs
+    when concrete), but the physics must be identical: the extra traced
+    rows are deactivated by the runtime exists mask (VERDICT r2 weak #5)."""
+    from oxide_control_tpu import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option solver="Newton" iterations="8" tolerance="0"/>
+      <worldbody>
+        <body pos="0 0 1">
+          <joint name="j1" type="hinge" axis="0 1 0" frictionloss="0.4"/>
+          <geom type="capsule" size="0.05" fromto="0 0 0 0.4 0 0" mass="1"/>
+          <body pos="0.4 0 0">
+            <joint name="j2" type="hinge" axis="0 1 0"/>
+            <geom type="capsule" size="0.05" fromto="0 0 0 0.3 0 0" mass="1"/>
+          </body>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    d0 = make_data(m)
+    d0 = d0.replace(qvel=jnp.asarray([0.7, -1.3], dtype=d0.qvel.dtype))
+
+    closed = jax.jit(lambda d: fwd.forward(m, d))(d0)
+    as_arg = jax.jit(lambda mm, d: fwd.forward(mm, d))(m, d0)
+    np.testing.assert_allclose(
+        np.asarray(closed.qacc), np.asarray(as_arg.qacc), rtol=0, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(closed.qfrc_constraint),
+        np.asarray(as_arg.qfrc_constraint), rtol=0, atol=1e-10,
+    )
+
+
+def test_rangefinder_plane_traced_model():
+    """Regression (ADVICE r2 high): a rangefinder sensor plus a plane geom
+    must not crash when the model is a traced jit argument (the finite-
+    plane check used a python branch on a traced leaf)."""
+    from oxide_control_tpu import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 0.1"/>
+        <body pos="0 0 1">
+          <joint type="hinge" axis="0 1 0"/>
+          <geom type="sphere" size="0.1" mass="1"/>
+          <site name="rf" pos="0 0 0" euler="180 0 0"/>
+        </body>
+      </worldbody>
+      <sensor><rangefinder site="rf"/></sensor>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    d0 = make_data(m)
+    out = jax.jit(lambda mm, d: fwd.forward(mm, d))(m, d0)  # must not raise
+    # pointing straight down from z=1 at an infinite-extent check: the
+    # plane has finite half-sizes 5x5, hit at (0,0) is inside
+    np.testing.assert_allclose(np.asarray(out.sensordata)[0], 1.0, atol=1e-6)

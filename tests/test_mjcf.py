@@ -214,3 +214,57 @@ def test_oracle_version():
     """The golden suite targets the 3.10 oracle semantics documented in
     tests/ORACLE.md; fail loudly if the environment swaps the wheel."""
     assert mujoco.__version__.startswith("3.10"), mujoco.__version__
+
+
+def test_keyframe_parsing_and_reset():
+    """<keyframe> keys compile into key_* fields matching MuJoCo, and
+    reset_data_keyframe loads them (mj_resetDataKeyframe analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oxide_control_tpu.state import make_data, reset_data_keyframe
+
+    xml = """
+    <mujoco>
+      <worldbody>
+        <body pos="0 0 1">
+          <joint name="h1" type="hinge" axis="0 1 0"/>
+          <geom type="capsule" size="0.04" fromto="0 0 0 0.3 0 0" mass="1"/>
+          <body pos="0.3 0 0">
+            <joint name="h2" type="hinge" axis="0 1 0"/>
+            <geom type="capsule" size="0.03" fromto="0 0 0 0.2 0 0" mass="0.5"/>
+          </body>
+        </body>
+      </worldbody>
+      <actuator><motor joint="h1"/></actuator>
+      <keyframe>
+        <key name="bent" qpos="0.4 -0.9" qvel="1 2" ctrl="0.5" time="3.5"/>
+        <key name="rest"/>
+      </keyframe>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    ref = mujoco.MjModel.from_xml_string(xml)
+    assert m.nkey == ref.nkey == 2
+    np.testing.assert_allclose(np.asarray(m.key_qpos), ref.key_qpos)
+    np.testing.assert_allclose(np.asarray(m.key_qvel), ref.key_qvel)
+    np.testing.assert_allclose(np.asarray(m.key_ctrl), ref.key_ctrl)
+    np.testing.assert_allclose(np.asarray(m.key_time), ref.key_time)
+    assert m.name2id("keyframe", "bent") == 0
+
+    d = make_data(m)
+    d = reset_data_keyframe(m, d, "bent")
+    np.testing.assert_allclose(np.asarray(d.qpos), [0.4, -0.9])
+    np.testing.assert_allclose(np.asarray(d.qvel), [1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(d.ctrl), [0.5])
+    assert float(d.time) == 3.5
+    # "rest" key defaults: qpos0 / zeros
+    d2 = reset_data_keyframe(m, d, 1)
+    np.testing.assert_allclose(np.asarray(d2.qpos), np.asarray(m.qpos0))
+    np.testing.assert_allclose(np.asarray(d2.qvel), [0.0, 0.0])
+
+    # batched reset: every lane gets the keyframe
+    bd = jax.vmap(lambda _: make_data(m))(jnp.arange(4))
+    bd = reset_data_keyframe(m, bd, 0)
+    assert np.asarray(bd.qpos).shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(bd.qpos)[2], [0.4, -0.9])

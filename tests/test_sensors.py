@@ -219,3 +219,54 @@ def test_rangefinder_golden():
     i = mujoco.mj_name2id(ref, mujoco.mjtObj.mjOBJ_SENSOR, "s_range")
     vals = mj[:, ref.sensor_adr[i]]
     assert np.any(vals < 0) and np.any(vals > 0)  # both hits and misses seen
+
+
+LIMIT_XML = """
+<mujoco model="limit_sensors">
+  <option timestep="0.002" solver="Newton" iterations="30" tolerance="0"/>
+  <worldbody>
+    <body name="arm" pos="0 0 1">
+      <joint name="pivot" type="hinge" axis="0 1 0" damping="0.1"
+             limited="true" range="-30 30" margin="0.01"/>
+      <geom name="armg" type="capsule" fromto="0 0 0 0.4 0 0" size="0.04" mass="1"/>
+      <body name="fore" pos="0.4 0 0">
+        <joint name="elbow" type="hinge" axis="0 1 0" damping="0.05"
+               limited="true" range="-45 45"/>
+        <geom name="foreg" type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" mass="0.5"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <fixed name="coupler" limited="true" range="-0.2 0.6">
+      <joint joint="pivot" coef="0.7"/>
+      <joint joint="elbow" coef="0.4"/>
+    </fixed>
+  </tendon>
+  <actuator>
+    <motor name="drive" joint="pivot" gear="3" ctrlrange="-1 1"/>
+    <motor name="drive2" joint="elbow" gear="2" ctrlrange="-1 1"/>
+  </actuator>
+  <sensor>
+    <jointlimitpos name="s_jlp" joint="pivot"/>
+    <jointlimitvel name="s_jlv" joint="pivot"/>
+    <jointlimitfrc name="s_jlf" joint="pivot"/>
+    <jointlimitpos name="s_jlp2" joint="elbow"/>
+    <jointlimitfrc name="s_jlf2" joint="elbow"/>
+    <tendonlimitpos name="s_tlp" tendon="coupler"/>
+    <tendonlimitvel name="s_tlv" tendon="coupler"/>
+    <tendonlimitfrc name="s_tlf" tendon="coupler"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def test_limit_sensors_golden():
+    """jointlimit*/tendonlimit* vs MuJoCo on a trajectory that saturates
+    both joint limits and the tendon limit."""
+    ref, mj, ours = rollout_sensordata(
+        LIMIT_XML, 400, seed=11, ctrl_scale=1.0,
+        qvel0=np.array([2.0, -3.0]),
+    )
+    # the trajectory actually engages limits (otherwise the test is vacuous)
+    assert np.any(np.abs(mj) > 1e-6)
+    _assert_sensors_close(ref, mj, ours, 1e-6)
