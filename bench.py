@@ -174,11 +174,26 @@ def load_config(domain, task, batch):
     return suite.load_batched(domain, task, batch, dtype=np.float32)
 
 
+# configs that must ALWAYS also report a general-vmap number (VERDICT r2
+# item 1: the general path needs an on-chip measurement even when the
+# kernel class has grown to cover the model)
+GENERAL_ALSO = {("cheetah", "run-elliptic"), ("walker", "walk-tendon-sensors")}
+
+
 def bench_config(domain, task, batch, steps_per_call):
     benv = load_config(domain, task, batch)
     stats = {}
+    extra = {}
     if rollout_mod.fast_rollout_supported(benv):
         wall, compile_s, path = bench_fast(benv, steps_per_call)
+        if (domain, task) in GENERAL_ALSO:
+            gw, gc, _, gstats = bench_general(benv, steps_per_call)
+            extra = {
+                "general_rate": round(
+                    batch * steps_per_call * TIMED_CALLS / gw, 1),
+                "general_compile_s": round(gc, 1),
+                **{f"general_{k}": v for k, v in gstats.items()},
+            }
     else:
         wall, compile_s, path, stats = bench_general(benv, steps_per_call)
     steps = batch * steps_per_call * TIMED_CALLS
@@ -191,6 +206,7 @@ def bench_config(domain, task, batch, steps_per_call):
         "wall_s": round(wall, 3),
         "warmup_and_compile_s": round(compile_s, 1),
         **stats,
+        **extra,
     }
 
 

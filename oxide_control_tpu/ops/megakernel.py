@@ -68,16 +68,18 @@ def build_rollout(
 ):
     """Compile a K-step rollout kernel.
 
-    Returns ``fn(qpos (nq,B), qvel (nv,B), ws (nv,B), time (1,B),
-    ctrl (K,nu,B), seed (1,) int32) -> (qpos', qvel', ws', time',
-    reward_sum (1,B))``.
+    Returns ``fn(qpos (nq,B), qvel (nv,B), act (max(na,1),B), ws (nv,B),
+    time (1,B), ctrl (K,nu,B), seed (1,) int32) -> (qpos', qvel', act',
+    ws', time', reward_sum (1,B))``.  Models with na == 0 carry one unused
+    act row (Pallas block shapes must be nonzero).
 
     Layout note: state arrays are **coordinate-major** (nq, B) so each
     coordinate row is a full lane vector per tile.
     """
     assert supports(model)
     assert batch % tile == 0
-    nq, nv, nu = model.nq, model.nv, model.nu
+    nq, nv, nu, na = model.nq, model.nv, model.nu, model.na
+    na_rows = max(na, 1)
     step = sg.build_step(model)
     h = float(model.opt.timestep)
     k_steps = steps_per_call
@@ -99,14 +101,15 @@ def build_rollout(
         reset_noise = 0.0
         reset_mask = [0.0] * nq
 
-    def kernel(qpos_ref, qvel_ref, ws_ref, time_ref, ctrl_ref, seed_ref,
-               oq_ref, ov_ref, ows_ref, ot_ref, orew_ref):
+    def kernel(qpos_ref, qvel_ref, act_ref, ws_ref, time_ref, ctrl_ref,
+               seed_ref, oq_ref, ov_ref, oa_ref, ows_ref, ot_ref, orew_ref):
         if reset_noise and not interpret:
             # per-tile PRNG stream for reset randomization
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
         q0 = tuple(qpos_ref[i, :] for i in range(nq))
         v0 = tuple(qvel_ref[i, :] for i in range(nv))
+        a0 = tuple(act_ref[i, :] for i in range(na))
         w0 = tuple(ws_ref[i, :] for i in range(nv))
         t0 = time_ref[0, :]
         # exact step counter (t0 is always an exact multiple of h here)
@@ -114,9 +117,9 @@ def build_rollout(
         rew0 = jnp.zeros_like(t0)
 
         def body(k, carry):
-            q, v, w, n, rew = carry
+            q, v, a, w, n, rew = carry
             c = tuple(ctrl_ref[k, u, :] for u in range(nu))
-            q, v, w = step(list(q), list(v), list(w), list(c))
+            q, v, a, w = step(list(q), list(v), list(a), list(w), list(c))
             n = n + 1
 
             if hooks is not None:
@@ -160,18 +163,24 @@ def build_rollout(
                 q_reset = qpos0
             q = tuple(jnp.where(done, q_reset[i], q[i]) for i in range(nq))
             v = tuple(jnp.where(done, 0.0, v[i]) for i in range(nv))
+            a = tuple(jnp.where(done, 0.0, a[i]) for i in range(na))
             w = tuple(jnp.where(done, 0.0, w[i]) for i in range(nv))
             n = jnp.where(done, 0, n)
-            return (q, v, w, n, rew)
+            return (q, v, a, w, n, rew)
 
-        q, v, w, n, rew = jax.lax.fori_loop(
-            0, k_steps, body, (q0, v0, w0, n0, rew0)
+        q, v, a, w, n, rew = jax.lax.fori_loop(
+            0, k_steps, body, (q0, v0, a0, w0, n0, rew0)
         )
         for i in range(nq):
             oq_ref[i, :] = q[i]
         for i in range(nv):
             ov_ref[i, :] = v[i]
             ows_ref[i, :] = w[i]
+        if na:
+            for i in range(na):
+                oa_ref[i, :] = a[i]
+        else:
+            oa_ref[0, :] = act_ref[0, :]
         ot_ref[0, :] = n.astype(t0.dtype) * h
         orew_ref[0, :] = rew
 
@@ -193,23 +202,25 @@ def build_rollout(
         vmem_limit_bytes=100 * 1024 * 1024
     )
 
-    def fn(qpos, qvel, ws, time, ctrl, seed):
+    def fn(qpos, qvel, act, ws, time, ctrl, seed):
         dtype = qpos.dtype
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[spec(nq), spec(nv), spec(nv), spec(1), ctrl_spec,
-                      seed_spec],
-            out_specs=(spec(nq), spec(nv), spec(nv), spec(1), spec(1)),
+            in_specs=[spec(nq), spec(nv), spec(na_rows), spec(nv), spec(1),
+                      ctrl_spec, seed_spec],
+            out_specs=(spec(nq), spec(nv), spec(na_rows), spec(nv), spec(1),
+                       spec(1)),
             out_shape=(
                 jax.ShapeDtypeStruct((nq, batch), dtype),
                 jax.ShapeDtypeStruct((nv, batch), dtype),
+                jax.ShapeDtypeStruct((na_rows, batch), dtype),
                 jax.ShapeDtypeStruct((nv, batch), dtype),
                 jax.ShapeDtypeStruct((1, batch), dtype),
                 jax.ShapeDtypeStruct((1, batch), dtype),
             ),
             interpret=interpret,
             compiler_params=None if interpret else compiler_params,
-        )(qpos, qvel, ws, time, ctrl, seed)
+        )(qpos, qvel, act, ws, time, ctrl, seed)
 
-    return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+    return jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4))

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from ..model import (
     BiasType,
+    DynType,
     GainType,
     GeomType,
     Integrator,
@@ -234,15 +235,17 @@ def motion_cross(v, c):
 
 
 def supports(model: Model) -> bool:
-    """True if the scalar-graph fast path can run this model."""
-    if model.neq or model.nmocap or model.ntendon:
-        return False
-    if model.nsensor:
-        # sensordata evaluation lives in the general pipeline only
-        return False
-    if model.na:
-        # stateful actuators (filter/integrator/...) need act integration,
-        # which the kernel does not implement: force = gain*ctrl + bias only
+    """True if the scalar-graph fast path can run this model.
+
+    Covered (r3): hinge/slide/ball/free joints, stateless AND stateful
+    (integrator/filter/filterexact) scalar-joint actuators, fixed tendons
+    (springs/dampers/limit/friction rows), dof friction loss, sensors
+    (stepping is sensor-independent; sensordata itself is not produced by
+    the kernel — rollout consumers read reward/state), plane contacts.
+    Still general-path only: equality constraints, mocap, elliptic cones,
+    non-plane contact pairs, implicit integrators, CG/PGS.
+    """
+    if model.neq or model.nmocap:
         return False
     stiffness = np.asarray(jax.device_get(model.jnt_stiffness))
     for j in range(model.njnt):
@@ -274,10 +277,6 @@ def supports(model: Model) -> bool:
             JointType.HINGE, JointType.SLIDE,
         ):
             return False
-    if not model.opt.disable_frictionloss and np.any(
-        np.asarray(model.dof_frictionloss) > 0
-    ):
-        return False
     for (t1, t2, pairs) in model.pair_groups:
         if GeomType(t1) != GeomType.PLANE:
             return False
@@ -315,16 +314,42 @@ class _ModelConsts:
             "actuator_gear", "actuator_ctrlrange", "actuator_forcerange",
             "actuator_gainprm", "actuator_biasprm", "pair_friction",
             "pair_solref", "pair_solimp", "pair_margin", "pair_gap",
+            "actuator_dynprm", "actuator_actrange", "dof_frictionloss",
+            "dof_solref", "dof_solimp", "tendon_range", "tendon_stiffness",
+            "tendon_damping", "tendon_frictionloss", "tendon_lengthspring",
+            "tendon_margin", "tendon_solref_lim", "tendon_solimp_lim",
+            "tendon_solref_fri", "tendon_solimp_fri", "tendon_invweight0",
+            "tendon_wrap_coef",
         ):
             setattr(self, name, _np(getattr(model, name)))
+
+
+def _tendon_len_vel(model: Model, mc, qpos, qvel):
+    """Fixed-tendon lengths and velocities as scalar expressions
+    (smooth.tendon_jacobians: length = sum coef * qpos over wrapped
+    scalar joints; constant coefficients fold at build time)."""
+    lens, vels = [], []
+    for t in range(model.ntendon):
+        adr, num = model.tendon_adr[t], model.tendon_num[t]
+        L = 0.0
+        V = 0.0
+        for w in range(adr, adr + num):
+            jid = model.tendon_wrap_jnt[w]
+            coef = float(mc.tendon_wrap_coef[w])
+            L = fma(L, coef, qpos[model.jnt_qposadr[jid]])
+            V = fma(V, coef, qvel[model.jnt_dofadr[jid]])
+        lens.append(L)
+        vels.append(V)
+    return lens, vels
 
 
 def build_step(model: Model, with_env: bool = False, task=None):
     """Build the scalar-graph step function.
 
-    Returns ``step(qpos, qvel, warmstart, ctrl[, time]) -> (qpos', qvel',
-    warmstart'[, time', reward, done])`` where qpos/qvel/... are python
-    lists of (TILE,) arrays (one per generalized coordinate / actuator).
+    Returns ``step(qpos, qvel, act, warmstart, ctrl[, time]) -> (qpos',
+    qvel', act', warmstart'[, time'])`` where qpos/qvel/... are python
+    lists of (TILE,) arrays (one per generalized coordinate / activation
+    state / actuator).
     """
     assert supports(model), "model not supported by scalar-graph fast path"
     mc = _ModelConsts(model)
@@ -338,7 +363,7 @@ def build_step(model: Model, with_env: bool = False, task=None):
     bd_mask = smooth.body_dof_mask(model)          # (nbody, nv)
     sub_mask = smooth.subtree_mask(model)          # (nbody, nbody)
 
-    def forward_pass(qpos, qvel, warmstart, ctrl, debug=None):
+    def forward_pass(qpos, qvel, act, warmstart, ctrl, debug=None):
         """Full forward dynamics to qacc (no integration); returns the
         pieces integrators need (mass-matrix dict + Cholesky helpers)."""
         # ----------------- FK -----------------
@@ -604,7 +629,26 @@ def build_step(model: Model, with_env: bool = False, task=None):
             damp = mul(-float(mc.dof_damping[i]), qvel[i])
             qfrc_passive.append(add(spring, damp))
 
+        # fixed-tendon springs (dead-band) and dampers (smooth.passive)
+        ten_len, ten_vel = _tendon_len_vel(model, mc, qpos, qvel)
+        for t in range(model.ntendon):
+            stiff = float(mc.tendon_stiffness[t])
+            damp = float(mc.tendon_damping[t])
+            if stiff == 0.0 and damp == 0.0:
+                continue
+            lo, hi = (float(x) for x in mc.tendon_lengthspring[t])
+            L = ten_len[t]
+            disp = jnp.where(L < lo, lo - L, jnp.where(L > hi, hi - L, 0.0))
+            frc = sub(mul(stiff, disp), mul(damp, ten_vel[t]))
+            adr, num = model.tendon_adr[t], model.tendon_num[t]
+            for w in range(adr, adr + num):
+                jid = model.tendon_wrap_jnt[w]
+                vadr = model.jnt_dofadr[jid]
+                coef = float(mc.tendon_wrap_coef[w])
+                qfrc_passive[vadr] = fma(qfrc_passive[vadr], coef, frc)
+
         qfrc_actuator = [0.0] * nv
+        act_dot = [0.0] * model.na
         for u in range(nu):
             j = model.actuator_trnid[u]
             vadr = model.jnt_dofadr[j]
@@ -616,6 +660,20 @@ def build_step(model: Model, with_env: bool = False, task=None):
                 c = jnp.clip(c, float(lo), float(hi))
             length = mul(gear, qpos[qadr])
             velocity = mul(gear, qvel[vadr])
+            # activation dynamics (mj_fwdActuation): stateful actuators
+            # drive force from act; act_dot integrates in the step fns
+            aadr = model.actuator_actadr[u]
+            if aadr >= 0:
+                a_u = act[aadr]
+                dyn = DynType(model.actuator_dyntype[u])
+                if dyn == DynType.INTEGRATOR:
+                    act_dot[aadr] = c
+                else:  # FILTER / FILTEREXACT
+                    tau = max(float(mc.actuator_dynprm[u][0]), 1e-15)
+                    act_dot[aadr] = mul(sub(c, a_u), 1.0 / tau)
+                force_input = a_u
+            else:
+                force_input = c
             gp = mc.actuator_gainprm[u]
             if model.actuator_gaintype[u] == GainType.FIXED:
                 gain = float(gp[0])
@@ -628,7 +686,7 @@ def build_step(model: Model, with_env: bool = False, task=None):
             else:
                 bias = add(add(float(bp[0]), mul(float(bp[1]), length)),
                            mul(float(bp[2]), velocity))
-            force = add(mul(gain, c), bias)
+            force = add(mul(gain, force_input), bias)
             if model.actuator_forcelimited[u]:
                 lo, hi = mc.actuator_forcerange[u]
                 force = jnp.clip(force, float(lo), float(hi))
@@ -718,6 +776,7 @@ def build_step(model: Model, with_env: bool = False, task=None):
             qacc=qacc, new_ws=new_ws, qfrc_smooth=qfrc_smooth,
             qfrc_constraint=qfrc_constraint, m_mat=m_mat,
             chol_factor=chol_factor, chol_solve=chol_solve,
+            act_dot=act_dot,
         )
 
     def integrate_pos_sg(qpos, qvel_new, dt):
@@ -751,10 +810,34 @@ def build_step(model: Model, with_env: bool = False, task=None):
                     qpos_new[qadr + 3 + i] = q[i]
         return qpos_new
 
+    def advance_act_sg(act, act_dot, dt):
+        """mj_advance act integration in scalar form: plain Euler for
+        INTEGRATOR/FILTER, exact exponential update for FILTEREXACT, then
+        actrange clamp (mirrors integrate.advance_act)."""
+        out = list(act)
+        for u in range(nu):
+            aadr = model.actuator_actadr[u]
+            if aadr < 0:
+                continue
+            dyn = DynType(model.actuator_dyntype[u])
+            if dyn == DynType.FILTEREXACT:
+                tau = max(float(mc.actuator_dynprm[u][0]), 1e-15)
+                eff_dt = tau * -math.expm1(-dt / tau)
+            else:
+                eff_dt = dt
+            a = fma(act[aadr], eff_dt, act_dot[aadr])
+            if model.actuator_actlimited[u]:
+                lo, hi = mc.actuator_actrange[u]
+                a = jnp.clip(a, float(lo), float(hi))
+            out[aadr] = a
+        return out
+
+    na = model.na
+
     if model.opt.integrator == Integrator.EULER:
 
-        def step(qpos, qvel, warmstart, ctrl, time=None, debug=None):
-            fw = forward_pass(qpos, qvel, warmstart, ctrl, debug=debug)
+        def step(qpos, qvel, act, warmstart, ctrl, time=None, debug=None):
+            fw = forward_pass(qpos, qvel, act, warmstart, ctrl, debug=debug)
             # semi-implicit Euler with implicit joint damping (mj_Euler)
             if model.any_damping and not model.opt.disable_eulerdamp:
                 damp = [h * float(mc.dof_damping[i]) for i in range(nv)]
@@ -770,16 +853,18 @@ def build_step(model: Model, with_env: bool = False, task=None):
                     add(qvel[i], mul(h, fw["qacc"][i])) for i in range(nv)
                 ]
             qpos_new = integrate_pos_sg(qpos, qvel_new, h)
+            act_new = advance_act_sg(act, fw["act_dot"], h)
             if time is None:
-                return qpos_new, qvel_new, fw["new_ws"]
-            return qpos_new, qvel_new, fw["new_ws"], time + h
+                return qpos_new, qvel_new, act_new, fw["new_ws"]
+            return qpos_new, qvel_new, act_new, fw["new_ws"], time + h
 
     else:  # RK4 (mj_RungeKutta, N=4): 4 chained forward passes
 
-        def step(qpos, qvel, warmstart, ctrl, time=None, debug=None):
-            fw = forward_pass(qpos, qvel, warmstart, ctrl, debug=debug)
+        def step(qpos, qvel, act, warmstart, ctrl, time=None, debug=None):
+            fw = forward_pass(qpos, qvel, act, warmstart, ctrl, debug=debug)
             vels = [list(qvel)]
             accs = [fw["qacc"]]
+            adots = [fw["act_dot"]]
             ws = fw["new_ws"]
             A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
             B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
@@ -792,12 +877,18 @@ def build_step(model: Model, with_env: bool = False, task=None):
                     sum_scalars([mul(A[i][j], accs[j][k]) for j in range(i + 1)])
                     for k in range(nv)
                 ]
+                da = [
+                    sum_scalars([mul(A[i][j], adots[j][k]) for j in range(i + 1)])
+                    for k in range(na)
+                ]
                 qpos_i = integrate_pos_sg(qpos, dq, h)
                 qvel_i = [add(qvel[k], mul(h, dv[k])) for k in range(nv)]
-                fw = forward_pass(qpos_i, qvel_i, ws, ctrl)
+                act_i = [add(act[k], mul(h, da[k])) for k in range(na)]
+                fw = forward_pass(qpos_i, qvel_i, act_i, ws, ctrl)
                 ws = fw["new_ws"]
                 vels.append(qvel_i)
                 accs.append(fw["qacc"])
+                adots.append(fw["act_dot"])
             dq = [
                 sum_scalars([mul(B[j], vels[j][k]) for j in range(4)])
                 for k in range(nv)
@@ -806,11 +897,18 @@ def build_step(model: Model, with_env: bool = False, task=None):
                 sum_scalars([mul(B[j], accs[j][k]) for j in range(4)])
                 for k in range(nv)
             ]
+            da = [
+                sum_scalars([mul(B[j], adots[j][k]) for j in range(4)])
+                for k in range(na)
+            ]
             qpos_new = integrate_pos_sg(qpos, dq, h)
             qvel_new = [add(qvel[k], mul(h, dv[k])) for k in range(nv)]
+            # final act advance through mj_advance semantics (exact filter
+            # update with the RK-weighted derivative, then actrange clamp)
+            act_new = advance_act_sg(act, da, h)
             if time is None:
-                return qpos_new, qvel_new, ws
-            return qpos_new, qvel_new, ws, time + h
+                return qpos_new, qvel_new, act_new, ws
+            return qpos_new, qvel_new, act_new, ws, time + h
 
     return step
 
@@ -818,6 +916,18 @@ def build_step(model: Model, with_env: bool = False, task=None):
 # ---------------------------------------------------------------------------
 # constraint rows + Newton (scalar-graph form)
 # ---------------------------------------------------------------------------
+
+
+def _kbi_zero_pos(solref, solimp, h):
+    """(k, b, imp) python constants for rows whose pos is identically 0
+    (friction rows): x = 0 puts the impedance at dmin."""
+    dmin = min(max(float(solimp[0]), 0.0001), 0.9999)
+    dmax = min(max(float(solimp[1]), 0.0001), 0.9999)
+    timeconst, dampratio = float(solref[0]), float(solref[1])
+    tc = max(timeconst, 2.0 * h)
+    b_coef = 2.0 / (dmax * tc)
+    k_coef = 1.0 / (dmax * dmax * tc * tc * dampratio * dampratio)
+    return k_coef, b_coef, dmin
 
 
 def _kbi_const(model, solref, solimp, pos, h):
@@ -852,13 +962,57 @@ def _kbi_const(model, solref, solimp, pos, h):
 
 def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                    bd_mask, h):
-    """Limit + contact rows as a list of dicts with sparse J."""
+    """Friction + limit + contact rows as a list of dicts with sparse J.
+
+    Row kinds (matching the general solver's force classes):
+      'uni'  unilateral (limits, pyramidal contact facets): f = max(-D jar, 0)
+      'fri'  friction loss (box-bounded): f = clip(-D jar, -floss, +floss)
+    MuJoCo row order preserved: friction dof -> friction tendon -> joint
+    limits -> tendon limits -> contacts.
+    """
     rows = []
     nv = model.nv
 
+    # dof friction loss (box-bounded rows; mjCNSTR_FRICTION_DOF).  pos = 0
+    # is a build-time constant, so the impedance folds: imp = dmin.
+    ten_len, ten_vel = _tendon_len_vel(model, mc, qpos, qvel)
+    if not getattr(model.opt, "disable_frictionloss", False):
+        for i in range(nv):
+            floss = float(mc.dof_frictionloss[i])
+            if floss <= 0:
+                continue
+            k, b, imp = _kbi_zero_pos(mc.dof_solref[i], mc.dof_solimp[i], h)
+            aref = mul(-b, qvel[i])
+            dcoef = imp / (1.0 - imp) / max(float(mc.dof_invweight0[i]), 1e-12)
+            rows.append(dict(
+                J={i: 1.0}, pos=0.0, aref=aref, D=dcoef, exists=True,
+                kind="fri", floss=floss,
+            ))
+        # tendon friction loss (mjCNSTR_FRICTION_TENDON)
+        for t in range(model.ntendon):
+            floss = float(mc.tendon_frictionloss[t])
+            if floss <= 0:
+                continue
+            k, b, imp = _kbi_zero_pos(
+                mc.tendon_solref_fri[t], mc.tendon_solimp_fri[t], h
+            )
+            aref = mul(-b, ten_vel[t])
+            dcoef = imp / (1.0 - imp) / max(
+                float(mc.tendon_invweight0[t]), 1e-12
+            )
+            J = {}
+            adr, num = model.tendon_adr[t], model.tendon_num[t]
+            for w in range(adr, adr + num):
+                vadr = model.jnt_dofadr[model.tendon_wrap_jnt[w]]
+                J[vadr] = add(J.get(vadr, 0.0), float(mc.tendon_wrap_coef[w]))
+            rows.append(dict(
+                J=J, pos=0.0, aref=aref, D=dcoef, exists=True,
+                kind="fri", floss=floss,
+            ))
+
     # joint limits
     for j in range(model.njnt):
-        if not model.jnt_limited[j]:
+        if model.opt.disable_limit or not model.jnt_limited[j]:
             continue
         qadr = model.jnt_qposadr[j]
         vadr = model.jnt_dofadr[j]
@@ -877,8 +1031,44 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
         dcoef = imp / (1.0 - imp) / max(float(mc.dof_invweight0[vadr]), 1e-12)
         rows.append(dict(
             J={vadr: sign}, pos=pos, aref=aref, D=dcoef, exists=exists,
-            unilateral=True,
+            kind="uni",
         ))
+
+    # tendon limits (mjCNSTR_LIMIT_TENDON: same shape as joint limits,
+    # J = +-coef row of the fixed-tendon coupling)
+    if not model.opt.disable_limit:
+        for t in range(model.ntendon):
+            if not model.tendon_limited[t]:
+                continue
+            lo, hi = (float(x) for x in mc.tendon_range[t])
+            margin = float(mc.tendon_margin[t])
+            L = ten_len[t]
+            dist_lo = L - lo
+            dist_hi = hi - L
+            dist = jnp.minimum(dist_lo, dist_hi)
+            sign = jnp.where(dist_lo < dist_hi, 1.0, -1.0)
+            exists = dist < margin
+            pos = jnp.where(exists, dist - margin, 0.0)
+            k, b, imp = _kbi_const(
+                model, mc.tendon_solref_lim[t], mc.tendon_solimp_lim[t],
+                pos, h,
+            )
+            vel = mul(sign, ten_vel[t])
+            aref = -b * vel - k * imp * pos
+            dcoef = imp / (1.0 - imp) / max(
+                float(mc.tendon_invweight0[t]), 1e-12
+            )
+            J = {}
+            adr, num = model.tendon_adr[t], model.tendon_num[t]
+            for w in range(adr, adr + num):
+                vadr = model.jnt_dofadr[model.tendon_wrap_jnt[w]]
+                J[vadr] = add(
+                    J.get(vadr, 0.0),
+                    mul(sign, float(mc.tendon_wrap_coef[w])),
+                )
+            rows.append(dict(
+                J=J, pos=pos, aref=aref, D=dcoef, exists=exists, kind="uni",
+            ))
 
     # plane contacts
     lane = 0
@@ -957,7 +1147,7 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                     rows.append(dict(
                         J=jn, pos=posr, aref=aref,
                         D=dapn / max(iw, 1e-12),
-                        exists=exists, unilateral=True,
+                        exists=exists, kind="uni",
                     ))
                 else:
                     jt1 = {dof: dot3(t1f, v) for dof, v in jrows.items()}
@@ -974,7 +1164,7 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                             rows.append(dict(
                                 J=J, pos=posr, aref=aref,
                                 D=dapn / max(dap, 1e-12),
-                                exists=exists, unilateral=True,
+                                exists=exists, kind="uni",
                             ))
                 lane += 1
     return rows
@@ -1053,6 +1243,32 @@ def _jdotv(jrow, qvel):
     return s
 
 
+def _row_force_act(r, jar_r):
+    """(force, quadratic-zone mask) of one row at residual ``jar_r``.
+
+    uni: f = max(-D jar, 0) on existing rows (limits / pyramid facets);
+    fri: f = clip(-D jar, -floss, +floss) (friction-loss box bound) —
+    the quadratic zone is |D jar| < floss, outside it the cost is linear
+    (MuJoCo friction-row Huber cost)."""
+    if r["kind"] == "fri":
+        fl = r["floss"]
+        g = r["D"] * jar_r
+        return jnp.clip(-g, -fl, fl), jnp.abs(g) < fl
+    act = r["exists"] & (jar_r < 0)
+    return jnp.where(act, -r["D"] * jar_r, 0.0), act
+
+
+def _row_cost(r, jar_r):
+    if r["kind"] == "fri":
+        fl = r["floss"]
+        g = r["D"] * jar_r
+        quad = 0.5 * r["D"] * jar_r * jar_r
+        lin = fl * jnp.abs(jar_r) - 0.5 * fl * fl / r["D"]
+        return jnp.where(jnp.abs(g) < fl, quad, lin)
+    act = r["exists"] & (jar_r < 0)
+    return jnp.where(act, 0.5 * r["D"] * jar_r * jar_r, 0.0)
+
+
 def _newton(model, rows, m_mat, l_m, chol_factor, chol_solve, qacc_smooth,
             qfrc_smooth, warmstart, nv):
     """Scalar-graph Newton solver with sort-free exact-ish line search."""
@@ -1071,8 +1287,7 @@ def _newton(model, rows, m_mat, l_m, chol_factor, chol_solve, qacc_smooth,
         gauss = mul(0.5, gauss)
         cons = 0.0
         for r, jr in zip(rows, jar):
-            act = r["exists"] & (jr < 0) if r["unilateral"] else r["exists"]
-            cons = add(cons, jnp.where(act, 0.5 * r["D"] * jr * jr, 0.0))
+            cons = add(cons, _row_cost(r, jr))
         return add(gauss, cons)
 
     jar_ws = jar_of(warmstart)
@@ -1084,11 +1299,9 @@ def _newton(model, rows, m_mat, l_m, chol_factor, chol_solve, qacc_smooth,
     jar = [jnp.where(use_ws, a, b) for a, b in zip(jar_ws, jar_sm)]
 
     for _ in range(model.opt.iterations):
-        act = [
-            (r["exists"] & (jr < 0)) if r["unilateral"] else r["exists"]
-            for r, jr in zip(rows, jar)
-        ]
-        f = [jnp.where(a, -r["D"] * jr, 0.0) for a, r, jr in zip(act, rows, jar)]
+        fa = [_row_force_act(r, jr) for r, jr in zip(rows, jar)]
+        f = [x_[0] for x_ in fa]
+        act = [x_[1] for x_ in fa]
         mx = _mat_vec_sym(m_mat, x, nv)
         grad = [sub(sub(mx[i], qfrc_smooth[i]), 0.0) for i in range(nv)]
         for r, fr in zip(rows, f):
@@ -1119,8 +1332,7 @@ def _newton(model, rows, m_mat, l_m, chol_factor, chol_solve, qacc_smooth,
 
     # final forces
     for r, jr in zip(rows, jar):
-        a = (r["exists"] & (jr < 0)) if r["unilateral"] else r["exists"]
-        r["force"] = jnp.where(a, -r["D"] * jr, 0.0)
+        r["force"], _ = _row_force_act(r, jr)
     return x, jar, rows
 
 
@@ -1141,11 +1353,13 @@ def _linesearch_scalar(rows, jar, jp, d0, sg, n_grow=12, n_bisect=26):
     stiff segments and loses to plain bisection at equal op count."""
 
     def dphi(alpha):
+        # dcost/dalpha per row = -f(jar_a) * jp (piecewise linear in alpha
+        # for both the unilateral clamp and the friction box clamp)
         s = d0 + alpha * sg
         for r, jr, jpr in zip(rows, jar, jp):
             jar_a = jr + alpha * jpr
-            act = (r["exists"] & (jar_a < 0)) if r["unilateral"] else r["exists"]
-            s = s + jnp.where(act, r["D"] * jpr * jar_a, 0.0)
+            f_a, _ = _row_force_act(r, jar_a)
+            s = s - f_a * jpr
         return s
 
     hi = jnp.ones_like(d0)

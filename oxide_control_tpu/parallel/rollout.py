@@ -93,59 +93,100 @@ class FastRollout:
 
     ``reward_sum`` is the per-env sum of rewards over the K steps
     (auto-reset lanes keep accumulating, as a throughput consumer would).
+
+    Multi-chip: pass ``mesh`` (1-D env mesh, parallel.mesh.make_env_mesh)
+    and the kernel runs under ``shard_map`` with the env axis of the
+    coordinate-major state sharded across devices — per-device tiles are
+    already independent, so the rollout is embarrassingly SPMD and the
+    only collective is whatever the consumer does with the rewards.
     """
 
     def __init__(self, benv: BatchedEnvironment, steps_per_call: int,
-                 tile: int = 1024, interpret: bool = False):
+                 tile: int = 1024, interpret: bool = False, mesh=None):
         from ..ops import megakernel as mk
 
         if not fast_rollout_supported(benv):
             raise ValueError(
                 "model/task not kernel-eligible (needs the scalar-graph "
-                "model class: Newton+Euler, plane contacts, stateless "
-                "scalar-joint actuators — see ops.scalar_graph.supports — "
+                "model class: Newton+Euler/RK4, plane contacts, scalar-"
+                "joint actuators — see ops.scalar_graph.supports — "
                 "and task.kernel_hooks); use jit_rollout for the general path"
             )
         model = benv.model
         self.benv = benv
         self.steps_per_call = steps_per_call
+        self.mesh = mesh
         self._nq, self._nv, self._nu = model.nq, model.nv, model.nu
         b = benv.num_envs
-        tile = min(tile, b)
         hooks = benv.task.kernel_hooks(model)
+        n_shards = 1 if mesh is None else mesh.size
+        assert b % n_shards == 0, (b, n_shards)
+        b_local = b // n_shards
+        tile = min(tile, b_local)
         kernel = mk.build_rollout(
-            model, b, steps_per_call, tile=tile, hooks=hooks,
+            model, b_local, steps_per_call, tile=tile, hooks=hooks,
             interpret=interpret,
         )
 
-        def bundle(qpos, qvel, ws, time, rng):
+        def bundle(qpos, qvel, act, ws, time, rng):
+            if mesh is not None:
+                # per-device RNG stream: fold in the env-axis position
+                rng = jax.random.fold_in(
+                    rng, jax.lax.axis_index(mesh.axis_names[0])
+                )
             k_ctrl, k_seed = jax.random.split(rng)
             ctrl = jax.random.uniform(
-                k_ctrl, (steps_per_call, model.nu, b),
+                k_ctrl, (steps_per_call, model.nu, b_local),
                 minval=-1.0, maxval=1.0, dtype=qpos.dtype,
             )
             seed = jax.random.randint(
                 k_seed, (1,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
             )
-            return kernel(qpos, qvel, ws, time, ctrl, seed)
+            return kernel(qpos, qvel, act, ws, time, ctrl, seed)
 
-        self._bundle = jax.jit(bundle, donate_argnums=(0, 1, 2, 3))
+        if mesh is None:
+            self._bundle = jax.jit(bundle, donate_argnums=(0, 1, 2, 3, 4))
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            col = P(None, axis)  # coordinate-major: env axis is axis 1
+            sharded = jax.shard_map(
+                bundle, mesh=mesh,
+                in_specs=(col, col, col, col, col, P()),
+                out_specs=(col, col, col, col, col, col),
+                check_vma=False,
+            )
+            self._bundle = jax.jit(sharded, donate_argnums=(0, 1, 2, 3, 4))
 
     def init(self, rng: jax.Array):
-        """Batched reset -> coordinate-major kernel state."""
+        """Batched reset -> coordinate-major kernel state (sharded over the
+        mesh's env axis when a mesh was given)."""
         data, _ = jax.jit(self.benv.reset)(rng)
-        return self.pack(data)
+        state = self.pack(data)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
+            state = tuple(jax.device_put(x, shard) for x in state)
+        return state
 
     def pack(self, data: Data):
-        """Data pytree (env-major) -> kernel state (coordinate-major)."""
+        """Data pytree (env-major) -> kernel state (coordinate-major);
+        na == 0 models carry one zero act row (see megakernel docstring)."""
+        b = data.qpos.shape[0]
+        act = data.act.T
+        if act.shape[0] == 0:
+            act = jnp.zeros((1, b), dtype=data.qpos.dtype)
         return (
             data.qpos.T,
             data.qvel.T,
+            act,
             data.qacc_warmstart.T,
             data.time[None, :],
         )
 
     def run(self, state, rng: jax.Array):
         """One K-step kernel call. Returns (new_state, reward_sum (B,))."""
-        qpos, qvel, ws, time, rew = self._bundle(*state, rng)
-        return (qpos, qvel, ws, time), rew[0]
+        qpos, qvel, act, ws, time, rew = self._bundle(*state, rng)
+        return (qpos, qvel, act, ws, time), rew[0]

@@ -96,12 +96,13 @@ def test_megakernel_matches_general_path():
     state = (
         jnp.asarray(data.qpos.T, jnp.float32),
         jnp.asarray(data.qvel.T, jnp.float32),
+        jnp.zeros((1, B), jnp.float32),  # act (na == 0: one unused row)
         jnp.asarray(data.qacc_warmstart.T, jnp.float32),
         jnp.asarray(data.time[None, :], jnp.float32),
     )
     ctrl_cm = jnp.asarray(ctrl.transpose(0, 2, 1))  # (K, nu, B)
     seed = jnp.zeros((1,), jnp.int32)
-    qpos, qvel, ws, t, rew = kernel(*state, ctrl_cm, seed)
+    qpos, qvel, act, ws, t, rew = kernel(*state, ctrl_cm, seed)
 
     np.testing.assert_allclose(np.asarray(rew)[0], rew_sum, rtol=0, atol=1e-4)
     np.testing.assert_allclose(np.asarray(qpos).T, np.asarray(d.qpos),

@@ -31,13 +31,14 @@ def _rollout_pair(name, nsteps=10, seed=0):
 
     q_l = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
     v_l = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
+    a_l = [jnp.zeros(B) for _ in range(m.na)]
     w_l = [jnp.asarray(ws[:, i]) for i in range(m.nv)]
     c_l = [jnp.asarray(ctrl[:, i]) for i in range(m.nu)]
 
     maxerr = 0.0
     for _ in range(nsteps):
         dB = step_ref(dB)
-        q_l, v_l, w_l = step_s(q_l, v_l, w_l, c_l)
+        q_l, v_l, a_l, w_l = step_s(q_l, v_l, a_l, w_l, c_l)
         qp = np.stack([np.asarray(x) for x in q_l], axis=1)
         maxerr = max(maxerr, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
     return maxerr
@@ -76,13 +77,14 @@ def test_humanoid_scalar_graph():
 
     q_l = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
     v_l = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
+    a_l = [jnp.zeros(B) for _ in range(m.na)]
     w_l = [jnp.asarray(ws[:, i]) for i in range(m.nv)]
     c_l = [jnp.asarray(ctrl[:, i]) for i in range(m.nu)]
 
     maxerr = maxerr_v = 0.0
     for _ in range(10):
         dB = step_ref(dB)
-        q_l, v_l, w_l = step_s(q_l, v_l, w_l, c_l)
+        q_l, v_l, a_l, w_l = step_s(q_l, v_l, a_l, w_l, c_l)
         qp = np.stack([np.asarray(x) for x in q_l], axis=1)
         qv = np.stack([np.asarray(x) for x in v_l], axis=1)
         maxerr = max(maxerr, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
@@ -119,21 +121,137 @@ def test_cartpole_rk4_scalar_graph():
 
     q_l = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
     v_l = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
+    a_l = [jnp.zeros(B) for _ in range(m.na)]
     w_l = [jnp.asarray(ws[:, i]) for i in range(m.nv)]
     c_l = [jnp.asarray(ctrl[:, i]) for i in range(m.nu)]
 
     maxerr = 0.0
     for _ in range(20):
         dB = step_ref(dB)
-        q_l, v_l, w_l = step_s(q_l, v_l, w_l, c_l)
+        q_l, v_l, a_l, w_l = step_s(q_l, v_l, a_l, w_l, c_l)
         qp = np.stack([np.asarray(x) for x in q_l], axis=1)
         maxerr = max(maxerr, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
     assert maxerr < 1e-8, maxerr
 
 
-def test_supports_rejects_stateful_actuators():
-    """A filter actuator (na > 0) must not take the fast path: the kernel
-    has no activation-state integration (force = gain*ctrl + bias only)."""
+def _parity_rollout(m, nsteps=15, seed=2, tol=1e-8, tol_v=None):
+    """Scalar-graph step vs general pipeline on an arbitrary supported
+    model (act-state aware)."""
+    assert sg.supports(m)
+    step_s = sg.build_step(m)
+    B = 8
+    rng = np.random.default_rng(seed)
+    qpos = np.tile(np.asarray(m.qpos0), (B, 1)) + rng.uniform(
+        -0.1, 0.1, (B, m.nq)
+    )
+    qvel = rng.uniform(-1, 1, (B, m.nv))
+    ctrl = rng.uniform(-1, 1, (B, m.nu))
+    act = rng.uniform(-0.3, 0.3, (B, m.na))
+    ws = np.zeros((B, m.nv))
+
+    d = make_data(m)
+    dB = jax.vmap(
+        lambda q, v, a, w, c: d.replace(
+            qpos=q, qvel=v, act=a, qacc_warmstart=w, ctrl=c
+        )
+    )(qpos, qvel, act, ws, ctrl)
+    step_ref = jax.jit(jax.vmap(lambda x: fwd.step(m, x)))
+
+    q_l = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
+    v_l = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
+    a_l = [jnp.asarray(act[:, i]) for i in range(m.na)]
+    w_l = [jnp.asarray(ws[:, i]) for i in range(m.nv)]
+    c_l = [jnp.asarray(ctrl[:, i]) for i in range(m.nu)]
+
+    err_q = err_a = 0.0
+    for _ in range(nsteps):
+        dB = step_ref(dB)
+        q_l, v_l, a_l, w_l = step_s(q_l, v_l, a_l, w_l, c_l)
+        qp = np.stack([np.asarray(x) for x in q_l], axis=1)
+        err_q = max(err_q, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
+        if m.na:
+            ap = np.stack([np.asarray(x) for x in a_l], axis=1)
+            err_a = max(err_a, float(np.max(np.abs(ap - np.asarray(dB.act)))))
+    assert err_q < tol, err_q
+    assert err_a < tol, err_a
+
+
+def test_stateful_actuators_scalar_graph():
+    """filter / filterexact / integrator actuators (na > 0) run in the
+    fast path with full activation dynamics (r3 extension)."""
+    from oxide_control_tpu import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option solver="Newton" iterations="4" tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body pos="0 0 0.5">
+          <joint name="h1" type="hinge" axis="0 1 0"/>
+          <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="1"/>
+          <body pos="0.3 0 0">
+            <joint name="h2" type="hinge" axis="0 1 0" damping="0.2"/>
+            <geom name="tip" type="sphere" size="0.05" mass="0.3"/>
+          </body>
+        </body>
+      </worldbody>
+      <actuator>
+        <general joint="h1" dyntype="filter" dynprm="0.1" gainprm="4"/>
+        <general joint="h2" dyntype="filterexact" dynprm="0.05" gainprm="2"
+                 actrange="-0.5 0.5" actlimited="true"/>
+        <general joint="h2" dyntype="integrator" gainprm="1"/>
+      </actuator>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert m.na == 3
+    assert sg.supports(m)
+    _parity_rollout(m, tol=1e-7)
+
+
+def test_tendon_frictionloss_scalar_graph():
+    """Fixed tendons (spring/damper/limit/friction rows) + dof friction
+    loss in the fast path (r3 extension), vs the general pipeline."""
+    from oxide_control_tpu import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option solver="Newton" iterations="8" tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body pos="0 0 0.6">
+          <joint name="h1" type="hinge" axis="0 1 0" frictionloss="0.3"/>
+          <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="1"/>
+          <body pos="0.3 0 0">
+            <joint name="h2" type="hinge" axis="0 1 0" damping="0.1"/>
+            <geom type="sphere" size="0.06" mass="0.4"/>
+          </body>
+        </body>
+      </worldbody>
+      <tendon>
+        <fixed name="spring_t" stiffness="3" springlength="0.05 0.2"
+               damping="0.4">
+          <joint joint="h1" coef="0.6"/>
+          <joint joint="h2" coef="-0.8"/>
+        </fixed>
+        <fixed name="lim_t" limited="true" range="-0.4 0.4"
+               frictionloss="0.2">
+          <joint joint="h1" coef="1.0"/>
+          <joint joint="h2" coef="0.5"/>
+        </fixed>
+      </tendon>
+      <actuator><motor joint="h1" gear="2"/></actuator>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert m.ntendon == 2
+    assert sg.supports(m)
+    _parity_rollout(m, nsteps=25, tol=2e-6)
+
+
+def test_supports_predicate_r3_extensions():
+    """Sensors / tendons / stateful actuators / frictionloss are now
+    kernel-eligible; equality and elliptic cones still are not."""
     from oxide_control_tpu import load_model_from_xml
 
     xml = """
@@ -143,13 +261,10 @@ def test_supports_rejects_stateful_actuators():
         <body pos="0 0 1">
           <joint name="h" type="hinge" axis="0 1 0"/>
           <geom type="capsule" fromto="0 0 0 0 0 0.4" size="0.02" mass="1"/>
+          <site name="s"/>
         </body>
       </worldbody>
-      <actuator>
-        <general joint="h" dyntype="filter" dynprm="0.1"/>
-      </actuator>
+      <sensor><jointpos joint="h"/><gyro site="s"/></sensor>
     </mujoco>
     """
-    m = load_model_from_xml(xml)
-    assert m.na == 1
-    assert sg.supports(m) is False
+    assert sg.supports(load_model_from_xml(xml))
