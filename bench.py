@@ -66,18 +66,23 @@ def bench_fast(benv, steps_per_call):
     t_compile = time.perf_counter()
     for _ in range(WARMUP_CALLS):
         rng, sub = jax.random.split(rng)
-        state, rew = roll.run(state, sub)
+        state, rew, div = roll.run(state, sub)
     np.asarray(rew)  # host transfer = true device sync
     compile_s = time.perf_counter() - t_compile
 
+    div_total = 0
     t0 = time.perf_counter()
     for _ in range(TIMED_CALLS):
         rng, sub = jax.random.split(rng)
-        state, rew = roll.run(state, sub)
+        state, rew, div = roll.run(state, sub)
     rew_host = np.asarray(rew)
+    div_total = int(np.sum(np.asarray(div)))
     wall = time.perf_counter() - t0
     assert np.all(np.isfinite(rew_host))
-    return wall, compile_s, "pallas-megakernel"
+    # kernel observability (SURVEY.md 5.5): divergence-triggered auto-reset
+    # count over the final timed call
+    stats = {"diverged_resets": div_total}
+    return wall, compile_s, "pallas-megakernel", stats
 
 
 def bench_general(benv, steps_per_call):
@@ -185,7 +190,7 @@ def bench_config(domain, task, batch, steps_per_call):
     stats = {}
     extra = {}
     if rollout_mod.fast_rollout_supported(benv):
-        wall, compile_s, path = bench_fast(benv, steps_per_call)
+        wall, compile_s, path, stats = bench_fast(benv, steps_per_call)
         if (domain, task) in GENERAL_ALSO:
             gw, gc, _, gstats = bench_general(benv, steps_per_call)
             extra = {

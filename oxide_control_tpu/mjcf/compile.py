@@ -402,23 +402,47 @@ class _Compiler:
         if t_root is None:
             return
         for elem in t_root:
-            if elem.tag != "fixed":
+            if elem.tag not in ("fixed", "spatial"):
                 raise UnsupportedFeatureError(
-                    f"only fixed tendons are supported, got <{elem.tag}>"
+                    f"unsupported tendon kind <{elem.tag}>"
                 )
             # MJCF defaults store tendon attributes under <tendon>, while
-            # the element tag here is <fixed>
+            # the element tag here is <fixed>/<spatial>
             cls = elem.get("class", "main")
             attrs = dict(self.defaults.get(cls, {}).get("tendon", {}))
             attrs.update(elem.attrib)
             joints, coefs = [], []
-            for sub in elem:
-                if sub.tag != "joint":
-                    raise UnsupportedFeatureError(
-                        f"unsupported fixed-tendon wrap <{sub.tag}>"
+            sites, divisors = [], []
+            if elem.tag == "fixed":
+                for sub in elem:
+                    if sub.tag != "joint":
+                        raise UnsupportedFeatureError(
+                            f"unsupported fixed-tendon wrap <{sub.tag}>"
+                        )
+                    joints.append(sub.attrib["joint"])
+                    coefs.append(float(sub.attrib.get("coef", 0.0)))
+            else:  # spatial: site path points + pulley branch divisors
+                div = 1.0
+                branch = 0
+                for sub in elem:
+                    if sub.tag == "site":
+                        sites.append(sub.attrib["site"])
+                        divisors.append((branch, div))
+                    elif sub.tag == "pulley":
+                        # a pulley starts a new branch whose segment lengths
+                        # are divided by `divisor` (MuJoCo semantics)
+                        div = float(sub.attrib.get("divisor", 1.0))
+                        branch += 1
+                    else:
+                        raise UnsupportedFeatureError(
+                            "spatial tendons support site paths and "
+                            f"pulleys only (geom wrapping not yet "
+                            f"implemented), got <{sub.tag}>"
+                        )
+                if len(sites) < 2:
+                    raise ModelError(
+                        "spatial tendon needs at least two sites"
                     )
-                joints.append(sub.attrib["joint"])
-                coefs.append(float(sub.attrib.get("coef", 0.0)))
             rng = _attr_floats(attrs, "range", [0, 0], 2)
             has_rng = "range" in attrs and (rng[0] != 0 or rng[1] != 0)
             if "limited" in attrs:
@@ -434,6 +458,8 @@ class _Compiler:
             self.tendons.append(
                 dict(
                     name=attrs.get("name", f"tendon{len(self.tendons)}"),
+                    kind=(0 if elem.tag == "fixed" else 1),
+                    sites=sites, divisors=divisors,
                     joints=joints, coefs=coefs, limited=limited, range=rng,
                     stiffness=_attr_float(attrs, "stiffness", 0.0),
                     damping=_attr_float(attrs, "damping", 0.0),
@@ -1471,9 +1497,10 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         keyframe=tuple(k["name"] for k in c.keyframes),
     )
 
-    # ----- tendons (fixed) -----
+    # ----- tendons (fixed joint couplings + spatial site paths) -----
     ntendon = len(c.tendons)
     tendon_adr, tendon_num, wrap_jnt, wrap_coef = [], [], [], []
+    ten_site_adr, ten_site_num, ten_sites, ten_site_div = [], [], [], []
     for t in c.tendons:
         tendon_adr.append(len(wrap_jnt))
         tendon_num.append(len(t["joints"]))
@@ -1486,6 +1513,16 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
                 raise ModelError("fixed tendons couple scalar joints only")
             wrap_jnt.append(jid)
             wrap_coef.append(coef)
+        ten_site_adr.append(len(ten_sites))
+        ten_site_num.append(len(t["sites"]))
+        for sname, (branch, div) in zip(t["sites"], t["divisors"]):
+            try:
+                ten_sites.append(names.site.index(sname))
+            except ValueError:
+                raise ModelError(
+                    f"spatial tendon references unknown site {sname!r}"
+                )
+            ten_site_div.append((int(branch), float(div)))
 
     # ----- actuators -----
     def _joint_id(name):
@@ -1667,6 +1704,11 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         tendon_num=tuple(tendon_num),
         tendon_limited=tuple(bool(t["limited"]) for t in c.tendons),
         tendon_wrap_jnt=tuple(wrap_jnt),
+        tendon_kind=tuple(int(t["kind"]) for t in c.tendons),
+        tendon_site_adr=tuple(ten_site_adr),
+        tendon_site_num=tuple(ten_site_num),
+        tendon_sites=tuple(ten_sites),
+        tendon_site_div=tuple(ten_site_div),
         tendon_range=f(np.array([t["range"] for t in c.tendons]).reshape(ntendon, 2)),
         tendon_stiffness=f([t["stiffness"] for t in c.tendons]),
         tendon_damping=f([t["damping"] for t in c.tendons]),
@@ -1979,8 +2021,10 @@ def _set_const(model: Model) -> Model:
         body_invweight0[b, 0] = np.trace(a_t) / 3.0
         body_invweight0[b, 1] = np.trace(a_r) / 3.0
 
-    # fixed tendons: invweight0 = J M^-1 J^T at qpos0; springlength < 0
-    # resolves to the qpos0 tendon length (MuJoCo compiler semantics)
+    # tendons: invweight0 = J M^-1 J^T at qpos0; springlength < 0
+    # resolves to the qpos0 tendon length (MuJoCo compiler semantics).
+    # Spatial tendons evaluate their site-path length/moment at the
+    # qpos0 pose (joint transforms identity in the FK above).
     extra = {}
     if model.ntendon:
         qpos0 = np.asarray(model.qpos0, dtype=np.float64)
@@ -1993,6 +2037,40 @@ def _set_const(model: Model) -> Model:
                 j = model.tendon_wrap_jnt[w]
                 tj[t, model.jnt_dofadr[j]] += coefs[w]
                 len0[t] += coefs[w] * qpos0[model.jnt_qposadr[j]]
+        kinds = getattr(model, "tendon_kind", ()) or (0,) * model.ntendon
+        if any(k == 1 for k in kinds):
+            site_pos = np.asarray(model.site_pos, dtype=np.float64)
+            site_x0 = np.stack([
+                xpos[model.site_bodyid[s]]
+                + xmat[model.site_bodyid[s]] @ site_pos[s]
+                for s in range(model.nsite)
+            ]) if model.nsite else np.zeros((0, 3))
+            for t in range(model.ntendon):
+                if kinds[t] != 1:
+                    continue
+                sadr = model.tendon_site_adr[t]
+                snum = model.tendon_site_num[t]
+                for k in range(snum - 1):
+                    br1, div = model.tendon_site_div[sadr + k]
+                    br2, _ = model.tendon_site_div[sadr + k + 1]
+                    if br1 != br2:
+                        continue
+                    s1 = model.tendon_sites[sadr + k]
+                    s2 = model.tendon_sites[sadr + k + 1]
+                    dvec = site_x0[s2] - site_x0[s1]
+                    n = np.linalg.norm(dvec)
+                    u = dvec / max(n, 1e-12)
+                    len0[t] += n / div
+                    for s, sgn in ((s2, 1.0), (s1, -1.0)):
+                        b = model.site_bodyid[s]
+                        origin = sub_com[model.body_rootid[b]]
+                        for i in range(nv):
+                            if mask[b, i]:
+                                ang, lin = cdof[i, :3], cdof[i, 3:]
+                                jp = lin + np.cross(
+                                    ang, site_x0[s] - origin
+                                )
+                                tj[t, i] += sgn * np.dot(u, jp) / div
         extra["tendon_invweight0"] = np.einsum(
             "ti,ij,tj->t", tj, m_inv, tj
         )

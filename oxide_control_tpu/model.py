@@ -246,10 +246,12 @@ class Model:
     eq_obj2id: tuple = static_field()
     eq_active0: tuple = static_field()
 
-    # fixed tendons (spatial tendons are not supported): per tendon, the
-    # coupled scalar joints and coefficients live in the wrap arrays
+    # tendons.  Fixed tendons couple scalar joints through the wrap arrays
+    # (tendon_adr/num index into tendon_wrap_jnt/coef); spatial tendons
+    # route through site paths (tendon_site_* below, with per-segment
+    # pulley divisors).  tendon_kind: 0 = fixed, 1 = spatial.
     tendon_adr: tuple = static_field()      # start into wrap arrays
-    tendon_num: tuple = static_field()      # joints per tendon
+    tendon_num: tuple = static_field()      # joints per tendon (fixed)
     tendon_limited: tuple = static_field()
     tendon_wrap_jnt: tuple = static_field() # (nwrap,) joint ids
 
@@ -364,6 +366,16 @@ class Model:
     # ----- site shapes (for touch-sensor volume clipping; mjtGeom vals) --
     site_type: tuple = static_field(default=())
     site_size: Any = None  # (nsite, 3) leaf; None for older constructors
+
+    # ----- spatial tendons (site-routed paths + pulley divisors) ---------
+    tendon_kind: tuple = static_field(default=())     # (ntendon,) 0/1
+    tendon_site_adr: tuple = static_field(default=()) # into tendon_sites
+    tendon_site_num: tuple = static_field(default=())
+    tendon_sites: tuple = static_field(default=())    # flat site ids
+    # per-path-point (branch index, pulley divisor): segments connect only
+    # consecutive sites of the same branch, contributing length/divisor
+    # (MuJoCo <pulley divisor="N"/> semantics)
+    tendon_site_div: tuple = static_field(default=())
 
     # ----- keyframes (<keyframe><key .../>; mj_resetDataKeyframe analog) -
     nkey: int = static_field(default=0)

@@ -44,18 +44,30 @@ class EnvHooks:
     reward(q, v, ctrl) -> (TILE,) array: reward from the *post-step* state
     (lists of per-coordinate (TILE,) arrays).  Tasks whose reward needs body
     frames (FK) are not yet kernel-eligible and use the general path.
+
+    Reset distribution: qpos[i] resets to
+        reset_qpos0[i] + U(-u_i, u_i) + N(0, s_i^2)
+    with u = reset_noise * reset_mask (uniform amplitudes) and
+    s = reset_qpos_sigma (gaussian sigmas); qvel resets to
+    N(0, reset_qvel_sigma^2) per dof.  This is expressive enough to state
+    every suite task's Task.init_episode exactly, so the kernel env and
+    the API env agree in distribution (VERDICT r2 item 7).  Quaternion
+    coordinates must have zero amplitude in BOTH vectors.
     """
 
     reward: Callable
     time_limit: float
     reset_noise: float = 0.0
-    # (nq,) per-coordinate noise amplitude multiplier for auto-reset
-    # randomization (0 => coordinate resets exactly to the reset target).
-    # Quaternion coordinates must be masked to 0 (reset to the exact quat).
+    # (nq,) per-coordinate uniform amplitude multiplier for auto-reset
+    # randomization (0 => no uniform noise on that coordinate).
     reset_mask: Sequence[float] | None = None
     # (nq,) auto-reset target; None => model qpos0.  Tasks whose episodes
     # start away from qpos0 (cartpole swingup: pole down) set this.
     reset_qpos0: Sequence[float] | None = None
+    # (nq,) per-coordinate gaussian sigma (0 => no gaussian noise)
+    reset_qpos_sigma: Sequence[float] | None = None
+    # scalar gaussian sigma for every qvel dof (0 => reset to exactly 0)
+    reset_qvel_sigma: float = 0.0
 
 
 def build_rollout(
@@ -70,8 +82,10 @@ def build_rollout(
 
     Returns ``fn(qpos (nq,B), qvel (nv,B), act (max(na,1),B), ws (nv,B),
     time (1,B), ctrl (K,nu,B), seed (1,) int32) -> (qpos', qvel', act',
-    ws', time', reward_sum (1,B))``.  Models with na == 0 carry one unused
-    act row (Pallas block shapes must be nonzero).
+    ws', time', reward_sum (1,B), diverged_count (1,B))``.  Models with
+    na == 0 carry one unused act row (Pallas block shapes must be nonzero);
+    ``diverged_count`` is the number of divergence-triggered auto-resets
+    per env over the K steps (SURVEY.md 5.5 observability).
 
     Layout note: state arrays are **coordinate-major** (nq, B) so each
     coordinate row is a full lane vector per tile.
@@ -79,7 +93,8 @@ def build_rollout(
     assert supports(model)
     assert batch % tile == 0
     nq, nv, nu, na = model.nq, model.nv, model.nu, model.na
-    na_rows = max(na, 1)
+    na_rows = max(na, 1)   # Pallas block shapes must be nonzero
+    nu_rows = max(nu, 1)
     step = sg.build_step(model)
     h = float(model.opt.timestep)
     k_steps = steps_per_call
@@ -96,14 +111,23 @@ def build_rollout(
             reset_mask = [1.0] * nq
         else:
             reset_mask = [float(x) for x in hooks.reset_mask]
+        uamp = [reset_noise * m for m in reset_mask]
+        if hooks.reset_qpos_sigma is None:
+            qsig = [0.0] * nq
+        else:
+            qsig = [float(x) for x in hooks.reset_qpos_sigma]
+        vsig = float(hooks.reset_qvel_sigma)
     else:
         limit_n = None
-        reset_noise = 0.0
-        reset_mask = [0.0] * nq
+        uamp = [0.0] * nq
+        qsig = [0.0] * nq
+        vsig = 0.0
+    any_noise = any(uamp) or any(qsig) or vsig > 0
 
     def kernel(qpos_ref, qvel_ref, act_ref, ws_ref, time_ref, ctrl_ref,
-               seed_ref, oq_ref, ov_ref, oa_ref, ows_ref, ot_ref, orew_ref):
-        if reset_noise and not interpret:
+               seed_ref, oq_ref, ov_ref, oa_ref, ows_ref, ot_ref, orew_ref,
+               odiv_ref):
+        if any_noise and not interpret:
             # per-tile PRNG stream for reset randomization
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
@@ -115,9 +139,10 @@ def build_rollout(
         # exact step counter (t0 is always an exact multiple of h here)
         n0 = jnp.round(t0 * (1.0 / h)).astype(jnp.int32)
         rew0 = jnp.zeros_like(t0)
+        div0 = jnp.zeros_like(n0)
 
         def body(k, carry):
-            q, v, a, w, n, rew = carry
+            q, v, a, w, n, rew, ndiv = carry
             c = tuple(ctrl_ref[k, u, :] for u in range(nu))
             q, v, a, w = step(list(q), list(v), list(a), list(w), list(c))
             n = n + 1
@@ -134,42 +159,67 @@ def build_rollout(
                 done = bad | (n >= limit_n)
             else:
                 done = bad
+            # observability (SURVEY.md 5.5): per-env divergence-reset count
+            ndiv = ndiv + bad.astype(ndiv.dtype)
 
-            if reset_noise and not interpret:
-                bits = pltpu.prng_random_bits((nq,) + n.shape)
-                signed = pltpu.bitcast(bits, jnp.int32).astype(t0.dtype)
+            if any_noise and not interpret:
+                # one hardware PRNG block: nq uniforms + (nq + nv) standard
+                # normals via Box-Muller (sqrt(-2 ln u1) cos(2 pi u2))
+                nn = nq + nv
+                bits = pltpu.prng_random_bits((nq + 2 * nn,) + n.shape)
+                s = pltpu.bitcast(bits, jnp.int32).astype(t0.dtype) * (
+                    2.0 ** -31
+                )  # [-1, 1)
+                uni = s[:nq]
+                u1 = 1.0 - 0.5 * (s[nq : nq + nn] + 1.0)   # (0, 1]
+                u2 = 0.5 * (s[nq + nn :] + 1.0)            # [0, 1)
+                z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+                    (2.0 * math.pi) * u2
+                )
                 q_reset = [
                     qpos0[i]
-                    + reset_noise * reset_mask[i] * (signed[i] * (2.0 ** -31))
+                    + (uamp[i] * uni[i] if uamp[i] else 0.0)
+                    + (qsig[i] * z[i] if qsig[i] else 0.0)
                     for i in range(nq)
                 ]
-            elif reset_noise:
+                v_reset = [
+                    vsig * z[nq + i] if vsig else 0.0 for i in range(nv)
+                ]
+            elif any_noise:
                 # interpret mode: the HLO interpreter cannot lower the TPU
                 # PRNG primitives (nor program_id outside grid lowering);
                 # use the threefry-based jax.random stream instead
-                # (statistically equivalent uniform [-1, 1) noise)
+                # (statistically equivalent distributions)
                 key = jax.random.fold_in(
                     jax.random.fold_in(jax.random.PRNGKey(7), seed_ref[0]), k
                 )
+                ku, kz = jax.random.split(key)
                 u = jax.random.uniform(
-                    key, (nq,) + n.shape, minval=-1.0, maxval=1.0,
+                    ku, (nq,) + n.shape, minval=-1.0, maxval=1.0,
                     dtype=t0.dtype,
                 )
+                z = jax.random.normal(kz, (nq + nv,) + n.shape, dtype=t0.dtype)
                 q_reset = [
-                    qpos0[i] + reset_noise * reset_mask[i] * u[i]
+                    qpos0[i]
+                    + (uamp[i] * u[i] if uamp[i] else 0.0)
+                    + (qsig[i] * z[i] if qsig[i] else 0.0)
                     for i in range(nq)
+                ]
+                v_reset = [
+                    vsig * z[nq + i] if vsig else 0.0 for i in range(nv)
                 ]
             else:
                 q_reset = qpos0
+                v_reset = [0.0] * nv
             q = tuple(jnp.where(done, q_reset[i], q[i]) for i in range(nq))
-            v = tuple(jnp.where(done, 0.0, v[i]) for i in range(nv))
+            v = tuple(jnp.where(done, v_reset[i], v[i]) for i in range(nv))
             a = tuple(jnp.where(done, 0.0, a[i]) for i in range(na))
             w = tuple(jnp.where(done, 0.0, w[i]) for i in range(nv))
             n = jnp.where(done, 0, n)
-            return (q, v, a, w, n, rew)
+            return (q, v, a, w, n, rew, ndiv)
 
-        q, v, a, w, n, rew = jax.lax.fori_loop(
-            0, k_steps, body, (q0, v0, a0, w0, n0, rew0)
+        q, v, a, w, n, rew, ndiv = jax.lax.fori_loop(
+            0, k_steps, body, (q0, v0, a0, w0, n0, rew0, div0)
         )
         for i in range(nq):
             oq_ref[i, :] = q[i]
@@ -183,6 +233,7 @@ def build_rollout(
             oa_ref[0, :] = act_ref[0, :]
         ot_ref[0, :] = n.astype(t0.dtype) * h
         orew_ref[0, :] = rew
+        odiv_ref[0, :] = ndiv.astype(t0.dtype)
 
     grid = (batch // tile,)
 
@@ -191,7 +242,8 @@ def build_rollout(
                             memory_space=pltpu.VMEM)
 
     ctrl_spec = pl.BlockSpec(
-        (k_steps, nu, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        (k_steps, nu_rows, tile), lambda i: (0, 0, i),
+        memory_space=pltpu.VMEM,
     )
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -210,12 +262,13 @@ def build_rollout(
             in_specs=[spec(nq), spec(nv), spec(na_rows), spec(nv), spec(1),
                       ctrl_spec, seed_spec],
             out_specs=(spec(nq), spec(nv), spec(na_rows), spec(nv), spec(1),
-                       spec(1)),
+                       spec(1), spec(1)),
             out_shape=(
                 jax.ShapeDtypeStruct((nq, batch), dtype),
                 jax.ShapeDtypeStruct((nv, batch), dtype),
                 jax.ShapeDtypeStruct((na_rows, batch), dtype),
                 jax.ShapeDtypeStruct((nv, batch), dtype),
+                jax.ShapeDtypeStruct((1, batch), dtype),
                 jax.ShapeDtypeStruct((1, batch), dtype),
                 jax.ShapeDtypeStruct((1, batch), dtype),
             ),

@@ -247,6 +247,8 @@ def supports(model: Model) -> bool:
     """
     if model.neq or model.nmocap:
         return False
+    if any(k == 1 for k in getattr(model, "tendon_kind", ())):
+        return False  # spatial tendons: general path only
     stiffness = np.asarray(jax.device_get(model.jnt_stiffness))
     for j in range(model.njnt):
         jt = model.jnt_type[j]
@@ -265,10 +267,6 @@ def supports(model: Model) -> bool:
         return False
     if model.opt.solver != SolverType.NEWTON:
         return False
-    from ..model import ConeType
-
-    if model.opt.cone == ConeType.ELLIPTIC and model.npair:
-        return False  # kernel Newton implements the pyramidal cone only
     if any(t != TrnType.JOINT for t in model.actuator_trntype):
         return False
     for u in range(model.nu):
@@ -747,16 +745,16 @@ def build_step(model: Model, with_env: bool = False, task=None):
                          subtree_com=subtree_com, cdof=cdof)
 
         # ----------------- collision + efc assembly -----------------
-        rows = _assemble_rows(
+        rows, cones = _assemble_rows(
             model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof, bd_mask, h
         )
         if debug is not None:
-            debug.update(rows=rows)
+            debug.update(rows=rows, cones=cones)
 
         # ----------------- Newton solver -----------------
-        if rows:
-            x, jar, rows = _newton(
-                model, rows, m_mat, l_m, chol_factor, chol_solve,
+        if rows or cones:
+            x, jar, rows, cones = _newton(
+                model, rows, cones, m_mat, l_m, chol_factor, chol_solve,
                 qacc_smooth, qfrc_smooth, warmstart, nv,
             )
             qacc = x
@@ -767,6 +765,13 @@ def build_step(model: Model, with_env: bool = False, task=None):
                 fr = r["force"]
                 for dof, val in r["J"].items():
                     qfrc_constraint[dof] = fma(qfrc_constraint[dof], val, fr)
+            for c in cones:
+                for i, Ji in enumerate(c["J"]):
+                    fi = c["force"][i]
+                    for dof, val in Ji.items():
+                        qfrc_constraint[dof] = fma(
+                            qfrc_constraint[dof], val, fi
+                        )
         else:
             qacc = qacc_smooth
             qfrc_constraint = [0.0] * nv
@@ -969,8 +974,17 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
       'fri'  friction loss (box-bounded): f = clip(-D jar, -floss, +floss)
     MuJoCo row order preserved: friction dof -> friction tendon -> joint
     limits -> tendon limits -> contacts.
+
+    Returns ``(rows, cones)``: flat rows plus elliptic-cone contact groups
+    (each a dict with J (list of condim sparse rows), D/aref lists, exists,
+    mu constants) handled by the cone force/cost/Hessian in the Newton
+    solver.
     """
+    from ..model import ConeType
+
+    elliptic = model.opt.cone == ConeType.ELLIPTIC
     rows = []
+    cones = []
     nv = model.nv
 
     # dof friction loss (box-bounded rows; mjCNSTR_FRICTION_DOF).  pos = 0
@@ -1149,6 +1163,30 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                         D=dapn / max(iw, 1e-12),
                         exists=exists, kind="uni",
                     ))
+                elif elliptic:
+                    # one condim-row cone group: [normal; t1; t2] with
+                    # plain (un-mu-scaled) axis jacobians; friction rows
+                    # D_i = D0 * impratio * (mu_i/mu_0)^2, aref = -b*vel
+                    # (matches physics/constraint.py elliptic assembly)
+                    jt1 = {dof: dot3(t1f, v) for dof, v in jrows.items()}
+                    jt2 = {dof: dot3(t2f, v) for dof, v in jrows.items()}
+                    d0 = dapn / max(iw, 1e-12)
+                    mu0 = float(friction[0])
+                    mus = (mu0, float(friction[1]))
+                    impr = float(model.opt.impratio)
+                    D_c = [d0,
+                           d0 * impr * (mus[0] / mu0) ** 2,
+                           d0 * impr * (mus[1] / mu0) ** 2]
+                    vel_n = _jdotv(jn, qvel)
+                    aref_c = [
+                        -b * vel_n - k * imp * posr,
+                        mul(-b, _jdotv(jt1, qvel)),
+                        mul(-b, _jdotv(jt2, qvel)),
+                    ]
+                    cones.append(dict(
+                        J=[jn, jt1, jt2], D=D_c, aref=aref_c, pos=posr,
+                        exists=exists, mu=mus, mu0=mu0, impratio=impr,
+                    ))
                 else:
                     jt1 = {dof: dot3(t1f, v) for dof, v in jrows.items()}
                     jt2 = {dof: dot3(t2f, v) for dof, v in jrows.items()}
@@ -1167,7 +1205,7 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                                 exists=exists, kind="uni",
                             ))
                 lane += 1
-    return rows
+    return rows, cones
 
 
 def _lane_to_pair(model, lane):
@@ -1269,15 +1307,96 @@ def _row_cost(r, jar_r):
     return jnp.where(act, 0.5 * r["D"] * jar_r * jar_r, 0.0)
 
 
-def _newton(model, rows, m_mat, l_m, chol_factor, chol_solve, qacc_smooth,
-            qfrc_smooth, warmstart, nv):
-    """Scalar-graph Newton solver with sort-free exact-ish line search."""
+def _cone_force_sg(c, jar3):
+    """(force list, g list) of one elliptic contact group at residual jar3
+    (scalar transcription of physics/constraint._cone_force_cost: projection
+    of g = -D*jar onto the friction cone in the D^-1 metric)."""
+    g = [mul(-1.0, mul(c["D"][i], jar3[i])) for i in range(3)]
+    ghat = [g[1] / c["mu"][0], g[2] / c["mu"][1]]
+    gT = jnp.sqrt(ghat[0] * ghat[0] + ghat[1] * ghat[1])
+    mub2 = c["mu0"] * c["mu0"] / c["impratio"]
+    wa = 1.0 / (1.0 + mub2)
+    wb = mub2 / (1.0 + mub2)
+    t = wa * g[0] + wb * gT
+    bottom = g[0] >= gT
+    zero = t <= 0.0
+    safe = jnp.where(gT > 1e-15, gT, 1.0)
+    f = [
+        jnp.where(bottom, g[0], jnp.where(zero, 0.0, t)),
+        jnp.where(bottom, g[1],
+                  jnp.where(zero, 0.0, c["mu"][0] * t * ghat[0] / safe)),
+        jnp.where(bottom, g[2],
+                  jnp.where(zero, 0.0, c["mu"][1] * t * ghat[1] / safe)),
+    ]
+    f = [jnp.where(c["exists"], fi, 0.0) for fi in f]
+    return f, g
+
+
+def _cone_cost_sg(c, jar3):
+    """Moreau-envelope cost of one cone group (grad cost = -force)."""
+    f, g = _cone_force_sg(c, jar3)
+    cost = 0.0
+    for i in range(3):
+        dinv = 1.0 / jnp.maximum(c["D"][i], 1e-30)
+        cost = cost + 0.5 * dinv * (g[i] * g[i] - (g[i] - f[i]) ** 2)
+    return jnp.where(c["exists"], cost, 0.0)
+
+
+def _cone_hess_sg(c, jar3):
+    """3x3 cost-Hessian block of one cone group wrt its jar slice
+    (constraint._solve_newton.cone_hess in scalar form)."""
+    _, g = _cone_force_sg(c, jar3)
+    q = [g[1] / c["mu"][0], g[2] / c["mu"][1]]
+    Q = jnp.sqrt(q[0] * q[0] + q[1] * q[1])
+    safe_q = jnp.where(Q > 1e-15, Q, 1.0)
+    mub2 = c["mu0"] * c["mu0"] / c["impratio"]
+    D0 = c["D"][0]
+    a = 1.0 / jnp.maximum(D0, 1e-30)
+    b_ = mub2 / jnp.maximum(D0, 1e-30)
+    wa = 1.0 / (1.0 + mub2)
+    wb = mub2 / (1.0 + mub2)
+    t = wa * g[0] + wb * Q
+    hpp = a * a / (a + b_)
+    s0 = mul(-1.0, D0)
+    st = [mul(-1.0, c["D"][1]) / c["mu"][0], mul(-1.0, c["D"][2]) / c["mu"][1]]
+    H = [[None] * 3 for _ in range(3)]
+    H[0][0] = s0 * s0 * hpp
+    for i in range(2):
+        hpq_i = (a * b_ / (a + b_)) * q[i] / safe_q
+        H[0][i + 1] = s0 * st[i] * hpq_i
+        H[i + 1][0] = H[0][i + 1]
+    for i in range(2):
+        for j in range(2):
+            qq = q[i] * q[j] / (safe_q * safe_q)
+            eye = 1.0 if i == j else 0.0
+            hqq = (b_ * b_ / (a + b_)) * qq + (t * b_ / safe_q) * (eye - qq)
+            H[i + 1][j + 1] = st[i] * st[j] * hqq
+    bottom = g[0] >= Q
+    zero = t <= 0.0
+    out = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            diag = c["D"][i] if i == j else 0.0
+            v = jnp.where(bottom, diag, jnp.where(zero, 0.0, H[i][j]))
+            out[i][j] = jnp.where(c["exists"], v, 0.0)
+    return out
+
+
+def _newton(model, rows, cones, m_mat, l_m, chol_factor, chol_solve,
+            qacc_smooth, qfrc_smooth, warmstart, nv):
+    """Scalar-graph Newton solver with sort-free exact-ish line search;
+    elliptic contacts handled through the cone force/cost/Hessian."""
     ne = len(rows)
 
     def jar_of(x):
-        return [sub(_jdotv(r["J"], x), r["aref"]) for r in rows]
+        flat = [sub(_jdotv(r["J"], x), r["aref"]) for r in rows]
+        cjar = [
+            [sub(_jdotv(Ji, x), c["aref"][i]) for i, Ji in enumerate(c["J"])]
+            for c in cones
+        ]
+        return flat, cjar
 
-    def cost_parts(x, jar):
+    def cost_parts(x, jar, cjar):
         # gauss: 0.5 (x - xs)^T M (x - xs)
         dx = [sub(x[i], qacc_smooth[i]) for i in range(nv)]
         mdx = _mat_vec_sym(m_mat, dx, nv)
@@ -1288,15 +1407,21 @@ def _newton(model, rows, m_mat, l_m, chol_factor, chol_solve, qacc_smooth,
         cons = 0.0
         for r, jr in zip(rows, jar):
             cons = add(cons, _row_cost(r, jr))
+        for c, j3 in zip(cones, cjar):
+            cons = add(cons, _cone_cost_sg(c, j3))
         return add(gauss, cons)
 
-    jar_ws = jar_of(warmstart)
-    jar_sm = jar_of(qacc_smooth)
-    c_ws = cost_parts(warmstart, jar_ws)
-    c_sm = cost_parts(qacc_smooth, jar_sm)
+    jar_ws, cjar_ws = jar_of(warmstart)
+    jar_sm, cjar_sm = jar_of(qacc_smooth)
+    c_ws = cost_parts(warmstart, jar_ws, cjar_ws)
+    c_sm = cost_parts(qacc_smooth, jar_sm, cjar_sm)
     use_ws = c_ws < c_sm
     x = [jnp.where(use_ws, warmstart[i], qacc_smooth[i]) for i in range(nv)]
     jar = [jnp.where(use_ws, a, b) for a, b in zip(jar_ws, jar_sm)]
+    cjar = [
+        [jnp.where(use_ws, a, b) for a, b in zip(ca, cb)]
+        for ca, cb in zip(cjar_ws, cjar_sm)
+    ]
 
     for _ in range(model.opt.iterations):
         fa = [_row_force_act(r, jr) for r, jr in zip(rows, jar)]
@@ -1307,7 +1432,12 @@ def _newton(model, rows, m_mat, l_m, chol_factor, chol_solve, qacc_smooth,
         for r, fr in zip(rows, f):
             for dof, val in r["J"].items():
                 grad[dof] = sub(grad[dof], mul(val, fr))
-        # hessian = M + sum_act D J J^T
+        for c, j3 in zip(cones, cjar):
+            fc, _ = _cone_force_sg(c, j3)
+            for i, Ji in enumerate(c["J"]):
+                for dof, val in Ji.items():
+                    grad[dof] = sub(grad[dof], mul(val, fc[i]))
+        # hessian = M + sum_act D J J^T + sum_cones J_c^T H_c J_c
         hess = dict(m_mat)
         for r, a in zip(rows, act):
             w = jnp.where(a, r["D"], 0.0)
@@ -1317,23 +1447,49 @@ def _newton(model, rows, m_mat, l_m, chol_factor, chol_solve, qacc_smooth,
                 for (d2, v2) in items[: ii + 1]:
                     key = (max(d1, d2), min(d1, d2))
                     hess[key] = add(hess.get(key, 0.0), mul(wv1, v2))
+        for c, j3 in zip(cones, cjar):
+            H = _cone_hess_sg(c, j3)
+            dofs = sorted({d for Ji in c["J"] for d in Ji})
+            for pi, dp in enumerate(dofs):
+                for dq in dofs[: pi + 1]:
+                    v = 0.0
+                    for i in range(3):
+                        jip = c["J"][i].get(dp)
+                        if jip is None:
+                            continue
+                        for j in range(3):
+                            jjq = c["J"][j].get(dq)
+                            if jjq is None:
+                                continue
+                            v = add(v, mul(mul(jip, H[i][j]), jjq))
+                    key = (max(dp, dq), min(dp, dq))
+                    hess[key] = add(hess.get(key, 0.0), v)
         l_h = chol_factor(hess)
         p = chol_solve(l_h, [neg(g) for g in grad])
         jp = [_jdotv(r["J"], p) for r in rows]
+        cjp = [
+            [_jdotv(Ji, p) for Ji in c["J"]] for c in cones
+        ]
         mp = _mat_vec_sym(m_mat, p, nv)
         d0 = 0.0
         sg = 0.0
         for i in range(nv):
             d0 = fma(d0, p[i], sub(mx[i], qfrc_smooth[i]))
             sg = fma(sg, p[i], mp[i])
-        alpha = _linesearch_scalar(rows, jar, jp, d0, sg)
+        alpha = _linesearch_scalar(rows, jar, jp, d0, sg, cones, cjar, cjp)
         x = [fma(x[i], alpha, p[i]) for i in range(nv)]
         jar = [fma(jr, alpha, jpr) for jr, jpr in zip(jar, jp)]
+        cjar = [
+            [fma(jr, alpha, jpr) for jr, jpr in zip(ca, cpa)]
+            for ca, cpa in zip(cjar, cjp)
+        ]
 
     # final forces
     for r, jr in zip(rows, jar):
         r["force"], _ = _row_force_act(r, jr)
-    return x, jar, rows
+    for c, j3 in zip(cones, cjar):
+        c["force"], _ = _cone_force_sg(c, j3)
+    return x, jar, rows, cones
 
 
 def _mat_vec_sym(m_mat, v, nv):
@@ -1345,7 +1501,8 @@ def _mat_vec_sym(m_mat, v, nv):
     return out
 
 
-def _linesearch_scalar(rows, jar, jp, d0, sg, n_grow=12, n_bisect=26):
+def _linesearch_scalar(rows, jar, jp, d0, sg, cones=(), cjar=(), cjp=(),
+                       n_grow=12, n_bisect=26):
     """Monotone piecewise-linear derivative root find: doubling bracket then
     bisection (sort-free; kernel-friendly).  A safeguarded-Newton variant
     was tried and reverted: segment curvatures differ by ~4 orders of
@@ -1354,12 +1511,18 @@ def _linesearch_scalar(rows, jar, jp, d0, sg, n_grow=12, n_bisect=26):
 
     def dphi(alpha):
         # dcost/dalpha per row = -f(jar_a) * jp (piecewise linear in alpha
-        # for both the unilateral clamp and the friction box clamp)
+        # for the clamp families; curved for the elliptic cone zones, which
+        # the doubling + bisection bracket handles as well)
         s = d0 + alpha * sg
         for r, jr, jpr in zip(rows, jar, jp):
             jar_a = jr + alpha * jpr
             f_a, _ = _row_force_act(r, jar_a)
             s = s - f_a * jpr
+        for c, j3, p3 in zip(cones, cjar, cjp):
+            jar_a = [jr + alpha * jpr for jr, jpr in zip(j3, p3)]
+            f_a, _ = _cone_force_sg(c, jar_a)
+            for i in range(3):
+                s = s - f_a[i] * p3[i]
         return s
 
     hi = jnp.ones_like(d0)

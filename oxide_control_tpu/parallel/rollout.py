@@ -89,7 +89,7 @@ class FastRollout:
 
         roll = FastRollout(benv, steps_per_call=100)
         state = roll.init(jax.random.PRNGKey(0))
-        state, reward_sum = roll.run(state, jax.random.PRNGKey(1))
+        state, reward_sum, diverged = roll.run(state, jax.random.PRNGKey(1))
 
     ``reward_sum`` is the per-env sum of rewards over the K steps
     (auto-reset lanes keep accumulating, as a throughput consumer would).
@@ -136,7 +136,7 @@ class FastRollout:
                 )
             k_ctrl, k_seed = jax.random.split(rng)
             ctrl = jax.random.uniform(
-                k_ctrl, (steps_per_call, model.nu, b_local),
+                k_ctrl, (steps_per_call, max(model.nu, 1), b_local),
                 minval=-1.0, maxval=1.0, dtype=qpos.dtype,
             )
             seed = jax.random.randint(
@@ -154,7 +154,7 @@ class FastRollout:
             sharded = jax.shard_map(
                 bundle, mesh=mesh,
                 in_specs=(col, col, col, col, col, P()),
-                out_specs=(col, col, col, col, col, col),
+                out_specs=(col,) * 7,
                 check_vma=False,
             )
             self._bundle = jax.jit(sharded, donate_argnums=(0, 1, 2, 3, 4))
@@ -187,6 +187,11 @@ class FastRollout:
         )
 
     def run(self, state, rng: jax.Array):
-        """One K-step kernel call. Returns (new_state, reward_sum (B,))."""
-        qpos, qvel, act, ws, time, rew = self._bundle(*state, rng)
-        return (qpos, qvel, act, ws, time), rew[0]
+        """One K-step kernel call.
+
+        Returns ``(new_state, reward_sum (B,), diverged_count (B,))`` —
+        the divergence counter is the kernel's observability surface
+        (SURVEY.md 5.5): how many divergence-triggered auto-resets each
+        env lane took during the K steps."""
+        qpos, qvel, act, ws, time, rew, div = self._bundle(*state, rng)
+        return (qpos, qvel, act, ws, time), rew[0], div[0]

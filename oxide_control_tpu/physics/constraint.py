@@ -476,10 +476,11 @@ def make_efc(model: Model, d: Data):
 
     # ----- tendon friction loss (mjCNSTR_FRICTION_TENDON) -----
     fr_tens = _friction_tendons(model)
+    ten_lm = None
     if fr_tens:
-        tv, _tq = smooth.tendon_jacobians(model, dtype)
+        ten_lm = smooth.tendon_length_moment(model, d)
         idx = np.array(fr_tens)
-        J = tv[idx]
+        J = ten_lm[1][idx]
         zero = jnp.zeros((len(fr_tens),), dtype=dtype)
         rows.add_block(
             model, J, zero, model.tendon_solref_fri[idx],
@@ -545,9 +546,11 @@ def make_efc(model: Model, d: Data):
     # joint limits, J = +-tendon jacobian row) -----
     lim_tens = _limit_tendons(model)
     if lim_tens:
-        tv, tq = smooth.tendon_jacobians(model, dtype)
+        if ten_lm is None:
+            ten_lm = smooth.tendon_length_moment(model, d)
+        tv = ten_lm[1]
         idx = np.array(lim_tens)
-        length = tq[idx] @ d.qpos
+        length = ten_lm[0][idx]
         lo = model.tendon_range[idx, 0]
         hi = model.tendon_range[idx, 1]
         dist_lo = length - lo

@@ -303,7 +303,7 @@ def _energy_pos(model: Model, d: Data) -> jax.Array:
     """mj_energyPos analog: gravity potential + joint/tendon spring energy
     (the exact potentials whose gradients are smooth.passive's forces)."""
     from ..model import JointType
-    from .smooth import tendon_jacobians
+    from .smooth import tendon_length_moment
 
     dtype = d.qpos.dtype
     e = jnp.zeros((), dtype=dtype)
@@ -331,8 +331,7 @@ def _energy_pos(model: Model, d: Data) -> jax.Array:
             )
             e = e + 0.5 * stiff * (jnp.dot(dp, dp) + jnp.dot(dq, dq))
     if model.ntendon:
-        _, tq = tendon_jacobians(model, dtype)
-        length = tq @ d.qpos
+        length, _ = tendon_length_moment(model, d)
         lo = model.tendon_lengthspring[:, 0]
         hi = model.tendon_lengthspring[:, 1]
         disp = jnp.where(
@@ -346,7 +345,7 @@ def sensor_pos(model: Model, d: Data) -> Data:
     """Position-stage sensors (mj_sensorPos analog)."""
     if not _has_stage(model, _POS):
         return d
-    from .smooth import actuator_moments, tendon_jacobians
+    from .smooth import actuator_moments, tendon_length_moment
 
     dtype = d.qpos.dtype
     sd = d.sensordata
@@ -369,8 +368,7 @@ def sensor_pos(model: Model, d: Data) -> Data:
             val = d.qpos[model.jnt_qposadr[oid]][None]
         elif st == SensorType.TENDONPOS:
             if ten_len is None:
-                _, tq = tendon_jacobians(model, dtype)
-                ten_len = tq @ d.qpos
+                ten_len, _ = tendon_length_moment(model, d)
             val = ten_len[oid][None]
         elif st == SensorType.ACTUATORPOS:
             val = act_len[oid][None]
@@ -420,7 +418,7 @@ def sensor_vel(model: Model, d: Data) -> Data:
     """Velocity-stage sensors (mj_sensorVel analog)."""
     if not _has_stage(model, _VEL):
         return d
-    from .smooth import actuator_moments, tendon_jacobians
+    from .smooth import actuator_moments, tendon_length_moment
 
     dtype = d.qpos.dtype
     sd = d.sensordata
@@ -444,8 +442,8 @@ def sensor_vel(model: Model, d: Data) -> Data:
         if st == SensorType.JOINTVEL:
             val = d.qvel[model.jnt_dofadr[oid]][None]
         elif st == SensorType.TENDONVEL:
-            tv, _ = tendon_jacobians(model, dtype)
-            val = (tv @ d.qvel)[oid][None]
+            _, tmom = tendon_length_moment(model, d)
+            val = (tmom @ d.qvel)[oid][None]
         elif st == SensorType.ACTUATORVEL:
             val = act_vel[oid][None]
         elif st == SensorType.BALLANGVEL:

@@ -74,7 +74,9 @@ def body_dof_mask(model: Model) -> np.ndarray:
 def tendon_jacobians(model: Model, dtype):
     """Fixed-tendon coupling matrices: (ntendon, nv) over dofs for
     velocity/force mapping and (ntendon, nq) over qpos for length.  The
-    sparsity is static (wrap tables); the coefficients stay traced."""
+    sparsity is static (wrap tables); the coefficients stay traced.
+    Spatial tendons have zero rows here — use :func:`tendon_length_moment`
+    for the unified (state-dependent) quantities."""
     tv = jnp.zeros((model.ntendon, model.nv), dtype=dtype)
     tq = jnp.zeros((model.ntendon, model.nq), dtype=dtype)
     coefs = model.tendon_wrap_coef
@@ -85,6 +87,65 @@ def tendon_jacobians(model: Model, dtype):
             tv = tv.at[t, model.jnt_dofadr[j]].add(coefs[w])
             tq = tq.at[t, model.jnt_qposadr[j]].add(coefs[w])
     return tv, tq
+
+
+def has_spatial_tendon(model: Model) -> bool:
+    return any(k == 1 for k in getattr(model, "tendon_kind", ()))
+
+
+def _site_point_jac(model: Model, d: Data, s: int, bdm, dtype):
+    """(nv, 3) translational jacobian of site ``s`` (world frame)."""
+    b = model.site_bodyid[s]
+    origin = d.subtree_com[model.body_rootid[b]]
+    mask = jnp.asarray(bdm[b], dtype=dtype)[:, None]
+    ang = d.cdof[:, :3] * mask
+    lin = d.cdof[:, 3:] * mask
+    return lin + jnp.cross(
+        ang, jnp.broadcast_to(d.site_xpos[s] - origin, ang.shape)
+    )
+
+
+def tendon_length_moment(model: Model, d: Data):
+    """(ntendon,) lengths + (ntendon, nv) moments dL/dq for fixed AND
+    spatial tendons (mj_tendon analog).
+
+    Fixed tendons are linear couplings of scalar joints; spatial tendons
+    are site-routed paths: L = sum over same-branch segments of
+    |p_{k+1} - p_k| / divisor, moment = sum u_k^T (Jp_{k+1} - Jp_k) /
+    divisor (straight segments between sites, pulley branch divisors; geom
+    wrapping is not supported and rejected at compile time).  Requires
+    position-stage Data (site_xpos / subtree_com / cdof)."""
+    dtype = d.qpos.dtype
+    tv, tq = tendon_jacobians(model, dtype)
+    length = tq @ d.qpos
+    moment = tv
+    if not has_spatial_tendon(model):
+        return length, moment
+    bdm = body_dof_mask(model)
+    for t in range(model.ntendon):
+        if model.tendon_kind[t] != 1:
+            continue
+        adr, num = model.tendon_site_adr[t], model.tendon_site_num[t]
+        L = jnp.zeros((), dtype=dtype)
+        row = jnp.zeros((model.nv,), dtype=dtype)
+        for k in range(num - 1):
+            b1, div = model.tendon_site_div[adr + k]
+            b2, _ = model.tendon_site_div[adr + k + 1]
+            if b1 != b2:
+                continue  # pulley between the two sites: no segment
+            s1 = model.tendon_sites[adr + k]
+            s2 = model.tendon_sites[adr + k + 1]
+            p1, p2 = d.site_xpos[s1], d.site_xpos[s2]
+            dvec = p2 - p1
+            n = jnp.linalg.norm(dvec)
+            u = dvec / jnp.maximum(n, 1e-12)
+            L = L + n / div
+            j1 = _site_point_jac(model, d, s1, bdm, dtype)
+            j2 = _site_point_jac(model, d, s2, bdm, dtype)
+            row = row + ((j2 - j1) @ u) / div
+        length = length.at[t].set(L)
+        moment = moment.at[t].set(row)
+    return length, moment
 
 
 def subtree_mask(model: Model) -> np.ndarray:
@@ -405,18 +466,17 @@ def passive(model: Model, d: Data) -> Data:
             qfrc = qfrc.at[vadr + 3 : vadr + 6].add(-stiff * difq)
     # dof damping
     qfrc = qfrc - model.dof_damping * d.qvel
-    # fixed-tendon springs (dead-band) and dampers
+    # tendon springs (dead-band) and dampers (fixed + spatial)
     if model.ntendon:
-        tv, tq = tendon_jacobians(model, dtype)
-        length = tq @ d.qpos
-        vel = tv @ d.qvel
+        length, moment = tendon_length_moment(model, d)
+        vel = moment @ d.qvel
         lo = model.tendon_lengthspring[:, 0]
         hi = model.tendon_lengthspring[:, 1]
         disp = jnp.where(
             length < lo, lo - length, jnp.where(length > hi, hi - length, 0.0)
         )
         frc = model.tendon_stiffness * disp - model.tendon_damping * vel
-        qfrc = qfrc + tv.T @ frc
+        qfrc = qfrc + moment.T @ frc
     return d.replace(qfrc_passive=qfrc)
 
 
@@ -434,15 +494,15 @@ def actuator_moments(model: Model, d: Data):
     tjac = None
     for u in range(model.nu):
         if model.actuator_trntype[u] == TrnType.TENDON:
-            # tendon transmission: moment = gear[0] * tendon jacobian,
+            # tendon transmission: moment = gear[0] * tendon moment,
             # length = gear[0] * tendon length (mj_transmission, mjTRN_TENDON)
             t = model.actuator_trnid[u]
             if tjac is None:
-                tjac = tendon_jacobians(model, dtype)
-            tv, tq = tjac
+                tjac = tendon_length_moment(model, d)
+            tlen, tmom = tjac
             gear0 = model.actuator_gear[u][0]
-            moments = moments.at[u].set(gear0 * tv[t])
-            lengths = lengths.at[u].set(gear0 * jnp.dot(tq[t], d.qpos))
+            moments = moments.at[u].set(gear0 * tmom[t])
+            lengths = lengths.at[u].set(gear0 * tlen[t])
             continue
         if model.actuator_trntype[u] == TrnType.SITE:
             # site transmission (no refsite): gear is a 6D wrench in the

@@ -80,10 +80,17 @@ class _Cartpole:
             small_velocity = (1.0 + rewards.tolerance(v[1], margin=5.0)) / 2.0
             return upright * small_control * small_velocity * centered
 
+        # exact init_episode distribution (reset-parity with the API env):
+        # swingup: x ~ N(0, 0.01^2), theta ~ pi + N(0, 0.01^2);
+        # balance: x ~ U(-0.1, 0.1), theta ~ U(-0.034, 0.034);
+        # both:    qvel ~ N(0, 0.01^2)
         qpos0 = np.asarray(jax.device_get(model.qpos0)).copy()
-        mask = np.full(model.nq, 0.01)
+        mask = np.zeros(model.nq)
+        sigma = np.zeros(model.nq)
         if self.swing_up:
             qpos0[hinge] = np.pi
+            sigma[slider] = 0.01
+            sigma[hinge] = 0.01
         else:
             mask[slider] = 0.1
             mask[hinge] = 0.034
@@ -93,6 +100,8 @@ class _Cartpole:
             reset_noise=1.0,  # per-coordinate amplitude carried by the mask
             reset_mask=mask,
             reset_qpos0=qpos0,
+            reset_qpos_sigma=sigma,
+            reset_qvel_sigma=0.01,
         )
 
 

@@ -77,8 +77,9 @@ class _Humanoid:
         The torso is the free root, so its world pose IS qpos[0:7]: head
         height and torso uprightness come straight from the root quaternion
         (head offset (0, 0, 0.19) in the torso frame; m22 = 1 - 2(x^2+y^2)),
-        no FK needed.  Reset randomization approximates init_episode with
-        uniform +-0.01 noise on non-quaternion coordinates and zero qvel."""
+        no FK needed.  Reset randomization equals init_episode exactly:
+        qpos ~ qpos0 + N(0, 0.01^2) (quaternion untouched),
+        qvel ~ N(0, 0.01^2)."""
         from ..ops.megakernel import EnvHooks
 
         head_b = model.name2id("body", "head")
@@ -119,13 +120,13 @@ class _Humanoid:
             move = (5.0 * move + 1.0) / 6.0
             return small_control * stand_reward * move
 
-        mask = np.ones(model.nq)
-        mask[3:7] = 0.0  # keep the root quaternion exactly at identity
+        sigma = np.full(model.nq, 0.01)
+        sigma[3:7] = 0.0  # keep the root quaternion exactly at identity
         return EnvHooks(
             reward=reward,
             time_limit=self.time_limit,
-            reset_noise=0.01,
-            reset_mask=mask,
+            reset_qpos_sigma=sigma,
+            reset_qvel_sigma=0.01,
         )
 
 

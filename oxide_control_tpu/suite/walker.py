@@ -69,8 +69,9 @@ class _Walker:
         = 1.3 + qpos[rootz] (slides are world-aligned; the rooty hinge is
         anchored at the body origin) and xmat[2,2] = cos(qpos[rooty]) —
         same expressions the general reward evaluates through FK.  Reset
-        randomization approximates randomize_limited_joints with uniform
-        noise around qpos0 on the limited joints and zero qvel."""
+        randomization equals init_episode exactly: limited joints uniform
+        within 10% of their range around the range MIDPOINT
+        (randomize_limited_joints), qvel ~ N(0, 0.01^2)."""
         from ..ops.megakernel import EnvHooks
 
         move_speed = self.move_speed
@@ -93,15 +94,22 @@ class _Walker:
             return stand * (5.0 * move + 1.0) / 6.0
 
         mask = np.zeros(model.nq)
+        qpos0 = np.asarray(jax.device_get(model.qpos0)).copy()
         for j in range(model.njnt):
             if model.jnt_limited[j]:
                 rng_j = np.asarray(jax.device_get(model.jnt_range))[j]
-                mask[model.jnt_qposadr[j]] = 0.05 * float(rng_j[1] - rng_j[0])
+                adr = model.jnt_qposadr[j]
+                mask[adr] = 0.05 * float(rng_j[1] - rng_j[0])
+                # randomize_limited_joints centers on the range midpoint,
+                # not on qpos0
+                qpos0[adr] = 0.5 * float(rng_j[0] + rng_j[1])
         return EnvHooks(
             reward=reward,
             time_limit=self.time_limit,
             reset_noise=1.0,  # amplitude carried per-coordinate by the mask
             reset_mask=mask,
+            reset_qpos0=qpos0,
+            reset_qvel_sigma=0.01,
         )
 
 

@@ -2,11 +2,30 @@
 """Scaling-efficiency harness (BASELINE.md scaling requirement).
 
 Measures env-steps/s at 1 device and at N devices with the env batch
-sharded over a 1-D mesh (weak scaling: fixed per-device batch), and writes
-``SCALING.json``.  On a development box it runs against a virtual N-device
-CPU mesh (``--xla_force_host_platform_device_count``); on a real slice the
-same script measures ICI/DCN scaling — the sharded step is the same
-``NamedSharding(P('env'))`` program either way (parallel/mesh.py).
+sharded over a 1-D mesh, for BOTH execution paths:
+
+  general  — vmapped pipeline, state sharded with NamedSharding(P('env'))
+  fast     — Pallas rollout megakernel under shard_map (parallel.rollout.
+             FastRollout(mesh=...)); on the virtual CPU mesh the kernel
+             runs in interpret mode (Mosaic needs a real TPU), so its
+             absolute rates are meaningless there — the row demonstrates
+             the sharded program compiles/executes and measures the
+             sharding overhead of the kernel path itself.
+
+Writes ``SCALING.json`` with one row per (task, path).  On a development
+box it runs against a virtual N-device CPU mesh
+(``--xla_force_host_platform_device_count``); on a real slice the same
+script measures ICI/DCN scaling — the sharded step is the same program.
+
+Virtual-mesh efficiency note (diagnosis of the r2 0.785 figure): on a
+forced-host-device CPU mesh all "devices" share one physical compute pool,
+so ideal rate_N == rate_1 and the ratio isolates pure partition overhead —
+per-device dispatch, layout/halo bookkeeping, and the cross-device
+reduction XLA inserts for the consumer.  That overhead is fixed per call,
+so it shrinks as per-device batch grows; see the two general rows
+(per-device batch 256 vs 1024) — the gap to 1.0 roughly quarters.  On real
+chips the same program's overhead is the ICI collective, measured as
+strong-scaling efficiency instead.
 
 Usage:
     python scaling.py                 # virtual 8-device CPU mesh
@@ -40,17 +59,14 @@ import jax.numpy as jnp
 
 from oxide_control_tpu import suite
 from oxide_control_tpu.parallel import mesh as mesh_mod
+from oxide_control_tpu.parallel.rollout import FastRollout
 
-DOMAIN = os.environ.get("SCALING_DOMAIN", "cheetah")
-TASK = os.environ.get("SCALING_TASK", "run")
-PER_DEVICE_BATCH = int(os.environ.get("SCALING_PER_DEVICE_BATCH", "256"))
-STEPS_PER_CALL = int(os.environ.get("SCALING_STEPS", "20"))
-TIMED_CALLS = 5
+TIMED_CALLS = 3
 
 
-def measure(n_devices: int, batch: int) -> float:
+def measure_general(domain, task, n_devices, batch, steps_per_call):
     """env-steps/s for the general sharded path on the first n devices."""
-    benv = suite.load_batched(DOMAIN, TASK, batch, dtype=np.float32)
+    benv = suite.load_batched(domain, task, batch, dtype=np.float32)
     m = mesh_mod.make_env_mesh(n_devices)
     nu = benv.model.nu
 
@@ -64,7 +80,7 @@ def measure(n_devices: int, batch: int) -> float:
             d, ts = benv.step(d, action, k_reset)
             return (d, key), ts.reward[0]
 
-        keys = jax.random.split(rng, STEPS_PER_CALL)
+        keys = jax.random.split(rng, steps_per_call)
         (data, _), rewards = jax.lax.scan(body, (data, rng), keys)
         return data, rewards[-1]
 
@@ -84,29 +100,161 @@ def measure(n_devices: int, batch: int) -> float:
         data, r = bundle_j(data, sub)
     np.asarray(r)
     wall = time.perf_counter() - t0
-    return batch * STEPS_PER_CALL * TIMED_CALLS / wall
+    return batch * steps_per_call * TIMED_CALLS / wall
+
+
+def measure_fast(domain, task, n_devices, batch, steps_per_call):
+    """env-steps/s for the Pallas megakernel path under shard_map.
+
+    Off-TPU the kernel runs in interpret mode, which is only tractable for
+    small scalar graphs — the virtual-mesh config list below uses the
+    hopper model for this row; real chips run the suite models."""
+    benv = suite.load_batched(domain, task, batch, dtype=np.float32)
+    virtual = jax.devices()[0].platform == "cpu"
+    mesh = mesh_mod.make_env_mesh(n_devices) if n_devices > 1 else None
+    roll = FastRollout(
+        benv, steps_per_call, tile=batch // max(n_devices, 1),
+        interpret=virtual, mesh=mesh,
+    )
+    rng = jax.random.PRNGKey(0)
+    state = roll.init(rng)
+    rng, sub = jax.random.split(rng)
+    state, rew, _div = roll.run(state, sub)
+    np.asarray(rew)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_CALLS):
+        rng, sub = jax.random.split(rng)
+        state, rew, _div = roll.run(state, sub)
+    np.asarray(rew)
+    wall = time.perf_counter() - t0
+    return batch * steps_per_call * TIMED_CALLS / wall
+
+
+def measure_fast_jax(domain, task, n_devices, batch, steps_per_call):
+    """env-steps/s for the fast FORMULATION (ops/scalar_graph straight-line
+    step) compiled as plain sharded JAX under shard_map — identical math to
+    the megakernel body; used for the cheetah/humanoid fast rows on the
+    virtual CPU mesh where Mosaic cannot run and interpret mode is
+    intractable for graphs this size."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from oxide_control_tpu.ops import scalar_graph as sg
+
+    benv = suite.load_batched(domain, task, batch, dtype=np.float32)
+    model = benv.model
+    assert sg.supports(model)
+    step = sg.build_step(model)
+    nq, nv, na = model.nq, model.nv, model.na
+    mesh = mesh_mod.make_env_mesh(n_devices)
+    axis = mesh.axis_names[0]
+    b_local = batch // n_devices
+
+    def bundle(qpos, qvel, act, ws, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        ctrl = jax.random.uniform(
+            rng, (max(model.nu, 1), b_local), minval=-1.0, maxval=1.0,
+            dtype=jnp.float32,
+        )
+
+        def body(_, carry):
+            q, v, a, w = carry
+            q, v, a, w = step(
+                [q[i] for i in range(nq)], [v[i] for i in range(nv)],
+                [a[i] for i in range(na)], [w[i] for i in range(nv)],
+                [ctrl[u] for u in range(model.nu)],
+            )
+            return (jnp.stack(q), jnp.stack(v),
+                    jnp.stack(a) if na else carry[2], jnp.stack(w))
+
+        q, v, a, w = jax.lax.fori_loop(
+            0, steps_per_call, body, (qpos, qvel, act, ws)
+        )
+        return q, v, a, w
+
+    col = P(None, axis)
+    fn = jax.jit(jax.shard_map(
+        bundle, mesh=mesh, in_specs=(col, col, col, col, P()),
+        out_specs=(col,) * 4, check_vma=False,
+    ), donate_argnums=(0, 1, 2, 3))
+
+    data, _ = jax.jit(benv.reset)(jax.random.PRNGKey(0))
+    shard = NamedSharding(mesh, col)
+    state = (
+        jax.device_put(data.qpos.T, shard),
+        jax.device_put(data.qvel.T, shard),
+        jax.device_put(
+            data.act.T if na else jnp.zeros((1, batch), jnp.float32), shard),
+        jax.device_put(data.qacc_warmstart.T, shard),
+    )
+    rng = jax.random.PRNGKey(1)
+    rng, sub = jax.random.split(rng)
+    state = fn(*state, sub)
+    np.asarray(state[0])  # sync
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_CALLS):
+        rng, sub = jax.random.split(rng)
+        state = fn(*state, sub)
+    np.asarray(state[0])
+    wall = time.perf_counter() - t0
+    return batch * steps_per_call * TIMED_CALLS / wall
 
 
 def main():
     avail = len(jax.devices())
     n_hi = min(N_DEV, avail)
-    # fixed TOTAL batch on both runs: on real chips this measures strong
-    # scaling (ideal rate_n = n * rate_1); on a virtual CPU mesh the
-    # "devices" share one compute pool, so ideal rate_n = rate_1 and the
-    # ratio isolates the pure sharding/collective overhead.
-    batch = PER_DEVICE_BATCH * n_hi
-    rate1 = measure(1, batch)
-    rate_n = measure(n_hi, batch)
-    virtual = (jax.devices()[0].platform == "cpu")
-    eff = (rate_n / rate1 if virtual else rate_n / (n_hi * rate1)) if rate1 else 0.0
+    virtual = jax.devices()[0].platform == "cpu"
+    rows = []
+    # (task, path, per-device batch, steps/call).  On the virtual mesh the
+    # cheetah/humanoid fast rows use the scalar-graph step as plain sharded
+    # JAX ("fast-jax": same math as the kernel body; Mosaic needs real TPU
+    # and interpret mode is intractable at this graph size) — the true
+    # sharded Pallas kernel path is exercised by dryrun_multichip and
+    # tests/test_sharding.py on the hopper model.
+    fast = "fast-jax" if virtual else "fast"
+    cfgs = [
+        ("cheetah", "run", "general", 256, 20),
+        ("cheetah", "run", "general", 1024, 20),
+        ("humanoid", "stand", "general", 128, 10),
+        ("cheetah", "run", fast, 1024, 50),
+        ("humanoid", "stand", fast, 256, 10),
+    ]
+    for domain, task, path, pdb, spc in cfgs:
+        batch = pdb * n_hi
+        fn = {"general": measure_general, "fast": measure_fast,
+              "fast-jax": measure_fast_jax}[path]
+        try:
+            rate1 = fn(domain, task, 1, batch, spc)
+            rate_n = fn(domain, task, n_hi, batch, spc)
+        except Exception as e:  # noqa: BLE001 — record, keep measuring
+            rows.append({
+                "task": f"{domain}-{task}", "path": path,
+                "error": repr(e)[:200],
+            })
+            continue
+        eff = (rate_n / rate1 if virtual else rate_n / (n_hi * rate1))
+        rows.append({
+            "task": f"{domain}-{task}",
+            "path": path,
+            "total_batch": batch,
+            "per_device_batch": pdb,
+            "rates": {"1": round(rate1, 1), str(n_hi): round(rate_n, 1)},
+            ("sharding_efficiency_virtual" if virtual
+             else "strong_scaling_efficiency"): round(eff, 4),
+        })
     out = {
-        "task": f"{DOMAIN}-{TASK}",
         "platform": jax.devices()[0].platform,
-        "total_batch": batch,
-        "rates": {"1": round(rate1, 1), str(n_hi): round(rate_n, 1)},
-        ("sharding_efficiency_virtual" if virtual
-         else "strong_scaling_efficiency"): round(eff, 4),
-        "devices_available": avail,
+        "devices": n_hi,
+        "rows": rows,
+        "virtual_mesh_note": (
+            "forced-host-device CPU mesh: all devices share one compute "
+            "pool, ideal rate_N == rate_1; efficiency < 1 is fixed-per-call "
+            "partition overhead (dispatch + consumer all-reduce), which "
+            "amortizes with per-device batch — compare the two cheetah "
+            "general rows.  Interpret-mode fast rows validate the sharded "
+            "kernel program, not absolute speed."
+        ) if virtual else "",
     }
     with open(os.path.join(os.path.dirname(__file__) or ".", "SCALING.json"),
               "w") as f:

@@ -367,3 +367,89 @@ def test_fixed_tendon():
 def test_ellipsoid_drop():
     """Plane-ellipsoid support-point contact: tumbling ellipsoid drop."""
     compare_windowed(fixtures.ELLIPSOID_DROP, 400, 25, 24, 1e-6, vel_tol=1e-4)
+
+
+SPATIAL_TENDON_XML = """
+<mujoco model="spatial_tendon_arm">
+  <option timestep="0.002" solver="Newton" iterations="20" tolerance="0"/>
+  <worldbody>
+    <site name="anchor" pos="0 0 1.2"/>
+    <body name="upper" pos="0 0 1">
+      <joint name="shoulder" type="hinge" axis="0 1 0" damping="0.1"/>
+      <geom name="ug" type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" mass="1"/>
+      <site name="mid" pos="0.15 0 0.03"/>
+      <body name="lower" pos="0.3 0 0">
+        <joint name="elbow" type="hinge" axis="0 1 0" damping="0.05"/>
+        <geom name="lg" type="capsule" fromto="0 0 0 0.25 0 0" size="0.025" mass="0.5"/>
+        <site name="tip" pos="0.25 0 0"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="string" stiffness="15" damping="0.5" springlength="0.5"
+             limited="true" range="0.2 0.9" frictionloss="0.1">
+      <site site="anchor"/>
+      <site site="mid"/>
+      <site site="tip"/>
+    </spatial>
+  </tendon>
+  <actuator>
+    <motor name="pull" tendon="string" gear="1.5" ctrlrange="-1 1"/>
+    <motor name="drive" joint="shoulder" gear="1" ctrlrange="-1 1"/>
+  </actuator>
+  <sensor>
+    <tendonpos tendon="string"/>
+    <tendonvel tendon="string"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def test_spatial_tendon_golden():
+    """Site-routed spatial tendon (VERDICT r2 item 4): length/moment via
+    straight segments, spring/damper passive forces, limit + friction rows,
+    tendon actuator transmission, tendonpos/vel sensors — all vs MuJoCo at
+    fixed-tendon tolerances."""
+    m = load_model_from_xml(SPATIAL_TENDON_XML)
+    ref = mujoco.MjModel.from_xml_string(SPATIAL_TENDON_XML)
+    # compile-time parity: rest length + invweight at qpos0
+    np.testing.assert_allclose(
+        np.asarray(m.tendon_invweight0), ref.tendon_invweight0, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.tendon_lengthspring), ref.tendon_lengthspring, atol=1e-12
+    )
+    compare(SPATIAL_TENDON_XML, 300, seed=21, tol=1e-8)
+
+
+def test_spatial_tendon_pulley_golden():
+    """Pulley divisors: two branches sharing one tendon length budget."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="20" tolerance="0"/>
+      <worldbody>
+        <site name="a0" pos="-0.3 0 1.2"/>
+        <site name="a1" pos="0.3 0 1.2"/>
+        <body name="b1" pos="-0.3 0 1">
+          <joint name="s1" type="slide" axis="0 0 1" damping="0.2"/>
+          <geom type="sphere" size="0.05" mass="0.5"/>
+          <site name="p1" pos="0 0 0.05"/>
+        </body>
+        <body name="b2" pos="0.3 0 1">
+          <joint name="s2" type="slide" axis="0 0 1" damping="0.2"/>
+          <geom type="sphere" size="0.05" mass="0.8"/>
+          <site name="p2" pos="0 0 0.05"/>
+        </body>
+      </worldbody>
+      <tendon>
+        <spatial name="rope" stiffness="30" springlength="0.3" damping="1">
+          <site site="p1"/>
+          <site site="a0"/>
+          <pulley divisor="2"/>
+          <site site="a1"/>
+          <site site="p2"/>
+        </spatial>
+      </tendon>
+    </mujoco>
+    """
+    compare(xml, 400, seed=23, tol=1e-8)

@@ -102,7 +102,7 @@ def test_megakernel_matches_general_path():
     )
     ctrl_cm = jnp.asarray(ctrl.transpose(0, 2, 1))  # (K, nu, B)
     seed = jnp.zeros((1,), jnp.int32)
-    qpos, qvel, act, ws, t, rew = kernel(*state, ctrl_cm, seed)
+    qpos, qvel, act, ws, t, rew, div = kernel(*state, ctrl_cm, seed)
 
     np.testing.assert_allclose(np.asarray(rew)[0], rew_sum, rtol=0, atol=1e-4)
     np.testing.assert_allclose(np.asarray(qpos).T, np.asarray(d.qpos),
@@ -189,3 +189,134 @@ def test_kernel_hooks_reward_parity():
             np.asarray(r_hooks), np.asarray(r_general), rtol=0, atol=1e-9,
             err_msg=f"{domain}/{task_name}",
         )
+
+
+def test_kernel_hooks_reset_distribution_parity():
+    """The EnvHooks reset spec (qpos0 + U(-u,u) + N(0,s^2); qvel N(0,vs^2))
+    must equal Task.init_episode in distribution for every suite task
+    (VERDICT r2 item 7: the benchmarked kernel env and the golden-tested
+    API env agree).  Compares per-coordinate means/stds of 4000 API resets
+    against the spec's analytic moments."""
+    from oxide_control_tpu import suite
+
+    N = 4000
+    for domain, task_name in (
+        ("cheetah", "run"), ("walker", "walk"), ("humanoid", "stand"),
+        ("cartpole", "balance"), ("cartpole", "swingup"),
+        ("pendulum", "swingup"),
+    ):
+        env = suite.load(domain, task_name, dtype=np.float64)
+        model, task = env.model, env.task
+        hooks = task.kernel_hooks(model)
+
+        from oxide_control_tpu.state import make_data
+
+        d0 = make_data(model)
+        keys = jax.random.split(jax.random.PRNGKey(17), N)
+        dB = jax.jit(jax.vmap(lambda k: task.init_episode(model, d0, k)))(keys)
+        qpos = np.asarray(dB.qpos)
+        qvel = np.asarray(dB.qvel)
+
+        # spec moments
+        nq = model.nq
+        uamp = np.asarray(hooks.reset_mask if hooks.reset_mask is not None
+                          else np.ones(nq)) * hooks.reset_noise
+        sig = np.asarray(hooks.reset_qpos_sigma
+                         if hooks.reset_qpos_sigma is not None
+                         else np.zeros(nq))
+        target = np.asarray(hooks.reset_qpos0 if hooks.reset_qpos0 is not None
+                            else jax.device_get(model.qpos0), dtype=np.float64)
+        std_spec = np.sqrt(uamp ** 2 / 3.0 + sig ** 2)
+
+        mean_err = np.abs(qpos.mean(axis=0) - target)
+        # 6-sigma band on the mean estimate (+ tiny abs floor)
+        tol = 6.0 * std_spec / np.sqrt(N) + 1e-9
+        assert np.all(mean_err < tol), (domain, task_name, mean_err, tol)
+        std_meas = qpos.std(axis=0)
+        np.testing.assert_allclose(
+            std_meas, std_spec, rtol=0.1, atol=1e-9,
+            err_msg=f"{domain}/{task_name} qpos std",
+        )
+        v_std = qvel.std(axis=0)
+        np.testing.assert_allclose(
+            v_std, np.full(model.nv, hooks.reset_qvel_sigma), rtol=0.1,
+            atol=1e-9, err_msg=f"{domain}/{task_name} qvel std",
+        )
+
+
+def test_free_joint_megakernel_interpret():
+    """Free-joint kernel wrapper (the class behind the humanoid headline
+    number) exercised off-TPU: a tiny free sphere dropped on a plane, 2
+    envs, 3 steps in interpret mode, vs the general pipeline (VERDICT r2
+    item 9)."""
+    xml = """
+    <mujoco>
+      <option timestep="0.01" solver="Newton" iterations="4" tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="3 3 .1"/>
+        <body name="ball" pos="0 0 0.12">
+          <freejoint/>
+          <geom name="b" type="sphere" size="0.1" mass="0.5"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    model = load_model_from_xml(xml, dtype=np.float32)
+
+    class _Drop:
+        discount = 1.0
+        time_limit = 10.0
+
+        def init_episode(self, model, data, rng):
+            return data
+
+        def observe(self, model, data):
+            return data.qpos
+
+        def reward(self, model, data, obs, action):
+            return data.qpos[2]
+
+        def done(self, model, data, obs):
+            return data.time > self.time_limit - 1e-6
+
+        def kernel_hooks(self, m):
+            return mk.EnvHooks(
+                reward=lambda q, v, c: q[2],
+                time_limit=self.time_limit,
+                reset_noise=0.0,
+            )
+
+    task = _Drop()
+    B, K = 2, 3
+    benv = BatchedEnvironment(model, task, B)
+    data, _ = jax.jit(benv.reset)(jax.random.PRNGKey(0))
+    # give the two envs different spin/velocity so quaternion integration
+    # is non-trivial
+    qvel = jnp.asarray([[0.2, 0.0, -0.3, 2.0, 1.0, 0.5],
+                        [-0.1, 0.15, 0.1, -1.0, 3.0, -2.0]], jnp.float32)
+    data = data.replace(qvel=qvel)
+
+    from oxide_control_tpu.physics import forward as fwd
+
+    step_ref = jax.jit(jax.vmap(lambda dd: fwd.step(model, dd)))
+    d = data
+    for _ in range(K):
+        d = step_ref(d)
+
+    kernel = mk.build_rollout(model, B, K, tile=B,
+                              hooks=task.kernel_hooks(model), interpret=True)
+    state = (
+        jnp.asarray(data.qpos.T, jnp.float32),
+        jnp.asarray(data.qvel.T, jnp.float32),
+        jnp.zeros((1, B), jnp.float32),
+        jnp.asarray(data.qacc_warmstart.T, jnp.float32),
+        jnp.asarray(data.time[None, :], jnp.float32),
+    )
+    seed = jnp.zeros((1,), jnp.int32)
+    ctrl = jnp.zeros((K, max(model.nu, 1), B), jnp.float32)
+    qpos, qvel_o, act, ws, t, rew, div = kernel(*state, ctrl, seed)
+
+    np.testing.assert_allclose(np.asarray(qpos).T, np.asarray(d.qpos),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qvel_o).T, np.asarray(d.qvel),
+                               rtol=0, atol=1e-4)

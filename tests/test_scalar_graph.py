@@ -268,3 +268,48 @@ def test_supports_predicate_r3_extensions():
     </mujoco>
     """
     assert sg.supports(load_model_from_xml(xml))
+
+
+def test_elliptic_cone_scalar_graph():
+    """Elliptic friction cones in the scalar-graph Newton (r3 extension):
+    cheetah with cone=elliptic + impratio vs the general pipeline's cone
+    solver, contact-rich trajectory."""
+    import dataclasses
+
+    from oxide_control_tpu.model import ConeType
+
+    m = load_asset("cheetah")
+    m = m.replace(opt=dataclasses.replace(
+        m.opt, cone=ConeType.ELLIPTIC, impratio=1.5, iterations=8
+    ))
+    assert sg.supports(m)
+    step_s = sg.build_step(m)
+    B = 8
+    rng = np.random.default_rng(9)
+    qpos = np.tile(np.asarray(m.qpos0), (B, 1)) + rng.uniform(
+        -0.1, 0.1, (B, m.nq)
+    )
+    qpos[:, 1] -= 0.3  # feet into contact
+    qvel = rng.uniform(-1, 1, (B, m.nv))
+    ctrl = rng.uniform(-1, 1, (B, m.nu))
+    ws = np.zeros((B, m.nv))
+
+    d = make_data(m)
+    dB = jax.vmap(
+        lambda q, v, w, c: d.replace(qpos=q, qvel=v, qacc_warmstart=w, ctrl=c)
+    )(qpos, qvel, ws, ctrl)
+    step_ref = jax.jit(jax.vmap(lambda x: fwd.step(m, x)))
+
+    q_l = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
+    v_l = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
+    a_l = []
+    w_l = [jnp.asarray(ws[:, i]) for i in range(m.nv)]
+    c_l = [jnp.asarray(ctrl[:, i]) for i in range(m.nu)]
+
+    maxerr = 0.0
+    for _ in range(10):
+        dB = step_ref(dB)
+        q_l, v_l, a_l, w_l = step_s(q_l, v_l, a_l, w_l, c_l)
+        qp = np.stack([np.asarray(x) for x in q_l], axis=1)
+        maxerr = max(maxerr, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
+    assert maxerr < 2e-6, maxerr

@@ -180,12 +180,13 @@ def test_fast_rollout_sharded_equals_unsharded():
         lambda *a: kern_loc(*a),
         mesh=mesh,
         in_specs=(col, col, col, col, col, P(None, None, "env"), P()),
-        out_specs=(col,) * 6,
+        out_specs=(col,) * 7,
         check_vma=False,
     )
     out = jax.jit(fn)(*state_s, ctrl_s, seed)
 
-    for r, o, name in zip(ref, out, ("qpos", "qvel", "act", "ws", "t", "rew")):
+    for r, o, name in zip(ref, out,
+                          ("qpos", "qvel", "act", "ws", "t", "rew", "div")):
         np.testing.assert_allclose(
             np.asarray(o), np.asarray(r), rtol=0, atol=1e-6, err_msg=name
         )
@@ -207,7 +208,8 @@ def test_fast_rollout_mesh_api():
     roll = FastRollout(benv, steps_per_call=5, tile=2, interpret=True,
                        mesh=mesh)
     state = roll.init(jax.random.PRNGKey(0))
-    state, rew = roll.run(state, jax.random.PRNGKey(1))
+    state, rew, div = roll.run(state, jax.random.PRNGKey(1))
     assert np.all(np.isfinite(np.asarray(rew)))
     assert rew.shape == (16,)
+    assert np.all(np.asarray(div) == 0)
     assert state[0].sharding.spec[1] == "env"
