@@ -1616,16 +1616,11 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
                                 geom_friction, geom_solref, geom_solimp,
                                 geom_margin, geom_gap)
 
-    # mesh collision narrowphase exists for plane-mesh only, hfield only
-    # against spheres/capsules; reject other pairings at compile time
-    # rather than at first trace
+    # every convex-convex pair runs either a bespoke narrowphase or the
+    # generic MPR support-function routine; the remaining compile-time
+    # rejections are hfield-vs-exotic pairings only
     for p in pair_entries:
         ts = (geom_type[p["g1"]], geom_type[p["g2"]])
-        if GeomType.MESH in ts and ts != (GeomType.PLANE, GeomType.MESH):
-            raise UnsupportedFeatureError(
-                f"mesh collision supported against planes only, got pair "
-                f"{GeomType(ts[0]).name}-{GeomType(ts[1]).name}"
-            )
         if GeomType.HFIELD in ts and ts not in (
             (GeomType.HFIELD, GeomType.SPHERE),
             (GeomType.HFIELD, GeomType.CAPSULE),

@@ -1,0 +1,164 @@
+"""Convex-convex narrowphase (MPR over support functions): static contact
+parity vs MuJoCo across poses, plus windowed dynamic goldens for the pairs
+the collision matrix previously rejected (VERDICT r2 item 5)."""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+from oxide_control_tpu import load_model_from_xml
+from oxide_control_tpu.physics import forward as fwd
+from oxide_control_tpu.state import make_data
+
+from test_golden import compare_windowed
+
+ELLBOX_XML = """
+<mujoco>
+  <option timestep="0.002" solver="Newton" iterations="30" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="3 3 .1"/>
+    <body name="bx" pos="0 0 0.1">
+      <geom name="box" type="box" size="0.25 0.25 0.1" mass="2"/>
+    </body>
+    <body name="el" pos="0.05 0.02 0.5">
+      <freejoint/>
+      <geom name="ell" type="ellipsoid" size="0.1 0.12 0.08" mass="0.5"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+TET_MESH_XML = """
+<mujoco>
+  <option timestep="0.002" solver="Newton" iterations="30" tolerance="0"/>
+  <asset>
+    <mesh name="tet" vertex="0 0 0  0.3 0 0  0 0.3 0  0.15 0.15 0.35"/>
+  </asset>
+  <worldbody>
+    <geom name="floor" type="plane" size="3 3 .1"/>
+    <body name="base" pos="0 0 0.02">
+      <geom name="mg" type="mesh" mesh="tet" mass="2"/>
+    </body>
+    <body name="ball" pos="0.14 0.12 0.8">
+      <freejoint/>
+      <geom name="bg" type="sphere" size="0.08" mass="0.3"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+CAPCYL_XML = """
+<mujoco>
+  <option timestep="0.002" solver="Newton" iterations="30" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="3 3 .1"/>
+    <body name="cyl" pos="0 0 0.15">
+      <geom name="cg" type="cylinder" size="0.12 0.15" mass="2"/>
+    </body>
+    <body name="cap" pos="0.02 0.01 0.5">
+      <freejoint/>
+      <geom name="kg" type="capsule" size="0.05 0.12" mass="0.4"
+            euler="0 85 0"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _static_contact_parity(xml, qpos_list, tol_dist, tol_norm, pair_name):
+    """Push geom2 into geom1 at several poses; dist and normal must match
+    MuJoCo's convex narrowphase."""
+    ref = mujoco.MjModel.from_xml_string(xml)
+    rd = mujoco.MjData(ref)
+    m = load_model_from_xml(xml)
+    d0 = make_data(m)
+    fp = jax.jit(lambda dd: fwd.fwd_position(m, dd))
+    checked = 0
+    for qpos in qpos_list:
+        rd.qpos[:] = qpos
+        mujoco.mj_forward(ref, rd)
+        d = fp(d0.replace(qpos=jnp.asarray(qpos)))
+        dist = np.asarray(d.contact.dist)
+        # the non-plane lane (plane lanes exist too in these models)
+        g1 = np.asarray(d.contact.geom1)
+        g2 = np.asarray(d.contact.geom2)
+        types = [
+            (m.geom_type[a], m.geom_type[b]) for a, b in zip(g1, g2)
+        ]
+        li = next(i for i, t in enumerate(types) if 0 not in t)
+        # matching MuJoCo contact (same unordered geom pair, deepest)
+        mj = [
+            (c.dist, c.frame[:3].copy(), {c.geom1, c.geom2})
+            for c in [rd.contact[i] for i in range(rd.ncon)]
+        ]
+        want = {int(g1[li]), int(g2[li])}
+        cands = [x for x in mj if x[2] == want]
+        if not cands:
+            assert dist[li] > -1e-4, (
+                f"{pair_name}: we report contact {dist[li]} but MuJoCo none"
+            )
+            continue
+        mj_dist, mj_n, _ = min(cands, key=lambda x: x[0])
+        assert abs(dist[li] - mj_dist) < tol_dist, (
+            pair_name, qpos, dist[li], mj_dist
+        )
+        ours_n = np.asarray(d.contact.frame)[li, 0]
+        # normal sign follows geom order; engines may order the pair
+        # differently, so flip MuJoCo's normal when its geom1 is our geom2
+        mj_geom1 = next(
+            rd.contact[i].geom1 for i in range(rd.ncon)
+            if {rd.contact[i].geom1, rd.contact[i].geom2} == want
+            and rd.contact[i].dist == mj_dist
+        )
+        if int(mj_geom1) != int(g1[li]):
+            mj_n = -mj_n
+        assert np.linalg.norm(ours_n - mj_n) < tol_norm, (
+            pair_name, qpos, ours_n, mj_n
+        )
+        checked += 1
+    assert checked >= 2, f"{pair_name}: too few penetrating poses checked"
+
+
+def test_ellipsoid_box_static_parity():
+    poses = [
+        [0.05, 0.02, 0.26, 1, 0, 0, 0],
+        [0.1, -0.05, 0.24, 1, 0, 0, 0],
+        [0.0, 0.0, 0.27, 0.97, 0.17, 0.17, 0.0],
+    ]
+    _static_contact_parity(ELLBOX_XML, poses, 2e-3, 0.1, "ell-box")
+
+
+def test_sphere_mesh_static_parity():
+    poses = [
+        [0.14, 0.12, 0.40, 1, 0, 0, 0],
+        [0.10, 0.10, 0.38, 1, 0, 0, 0],
+    ]
+    _static_contact_parity(TET_MESH_XML, poses, 3e-3, 0.15, "sphere-mesh")
+
+
+def test_ellipsoid_box_drop_windowed():
+    """Dynamic golden: ellipsoid dropped on a box, windowed re-sync vs
+    MuJoCo.  qpos tracks at 5e-3; the qvel bound is loose because MPR
+    emits ONE contact lane per pair while MuJoCo's convex narrowphase
+    builds a multi-point manifold — at impact frames the single-point
+    impulse distributes angular momentum differently for a step before
+    the trajectories re-agree (visible only in the velocity, not the
+    integrated position)."""
+    compare_windowed(ELLBOX_XML, 400, window=10, seed=3, tol=5e-3,
+                     vel_tol=0.4)
+
+
+def test_sphere_mesh_drop_windowed():
+    # vertex/edge-contact frames: the polished MPR normal can deviate a few
+    # degrees from MuJoCo's exact vertex normal, so impact-frame velocities
+    # differ transiently while the integrated position stays at 5e-3
+    compare_windowed(TET_MESH_XML, 400, window=10, seed=5, tol=5e-3,
+                     vel_tol=1.0)
+
+
+def test_capsule_cylinder_drop_windowed():
+    # rim/edge contacts: single-lane impulse vs MuJoCo's manifold (see
+    # ellipsoid-box note); position bound is the correctness statement
+    compare_windowed(CAPCYL_XML, 400, window=10, seed=7, tol=5e-3,
+                     vel_tol=1.0)
