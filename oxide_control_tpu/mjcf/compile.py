@@ -681,7 +681,7 @@ class _Compiler:
             attrs = self._resolved(elem, "main")
             kind = elem.tag
             if kind not in ("motor", "position", "velocity", "general",
-                            "intvelocity", "damper"):
+                            "intvelocity", "damper", "muscle"):
                 raise UnsupportedFeatureError(f"unsupported actuator <{kind}>")
             if "joint" in attrs:
                 trntype, target = TrnType.JOINT, attrs["joint"]
@@ -745,6 +745,28 @@ class _Compiler:
                         "damper actuator requires ctrlrange with "
                         "ctrlrange[0] >= 0"
                     )
+            elif kind == "muscle":
+                # mjs_defaultActuator muscle defaults, validated vs the
+                # mujoco wheel's compiled gainprm/biasprm/dynprm
+                dyntype = DynType.MUSCLE
+                gaintype = GainType.MUSCLE
+                biastype = BiasType.MUSCLE
+                tc = _attr_floats(attrs, "timeconst", [0.01, 0.04], 2)
+                dynprm[0], dynprm[1] = tc[0], tc[1]
+                dynprm[2] = _attr_float(attrs, "tausmooth", 0.0)
+                rng_m = _attr_floats(attrs, "range", [0.75, 1.05], 2)
+                prm9 = [
+                    rng_m[0], rng_m[1],
+                    _attr_float(attrs, "force", -1.0),
+                    _attr_float(attrs, "scale", 200.0),
+                    _attr_float(attrs, "lmin", 0.5),
+                    _attr_float(attrs, "lmax", 1.6),
+                    _attr_float(attrs, "vmax", 1.5),
+                    _attr_float(attrs, "fpmax", 1.3),
+                    _attr_float(attrs, "fvmax", 1.2),
+                ]
+                gainprm[:9] = prm9
+                biasprm[:9] = prm9
             else:  # general
                 gp = _attr_floats(attrs, "gainprm", [1, 0, 0], 3)
                 gainprm[: gp.size] = gp
@@ -803,6 +825,8 @@ class _Compiler:
                     gainprm=gainprm,
                     biasprm=biasprm,
                     dynprm=dynprm,
+                    lengthrange=(_attr_floats(attrs, "lengthrange", None, 2)
+                                 if "lengthrange" in attrs else None),
                 )
             )
 
@@ -983,14 +1007,6 @@ class _Compiler:
         integ = attrs.get("integrator", "Euler")
         if integ not in _INTEGRATORS:
             raise UnsupportedFeatureError(f"integrator {integ!r} not supported")
-        # fluid forces (mj_fluid) are not implemented: running with nonzero
-        # density/viscosity/wind would be silently wrong physics
-        if (_attr_float(attrs, "density", 0.0) != 0.0
-                or _attr_float(attrs, "viscosity", 0.0) != 0.0
-                or np.any(_attr_floats(attrs, "wind", [0, 0, 0], 3) != 0)):
-            raise UnsupportedFeatureError(
-                "fluid forces (density/viscosity/wind) not supported"
-            )
         solver = attrs.get("solver", "Newton")
         cone = attrs.get("cone", "pyramidal")
         return Option(
@@ -1552,6 +1568,47 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
 
     actuator_trnid = [_trnid(a) for a in c.actuators]
 
+    # ----- muscle length ranges -----
+    # explicit lengthrange wins; otherwise derive from the transmission's
+    # limited range (JOINT: sorted gear0 * jnt_range — exact for the linear
+    # joint transmission; TENDON: the tendon's limit range).  MuJoCo's
+    # compiler instead runs a simulation-based estimation whose result
+    # lands within ~1e-3 of these bounds; models needing oracle-exact
+    # muscle normalization should state lengthrange explicitly.
+    act_lengthrange = np.zeros((nu, 2))
+    for u, a in enumerate(c.actuators):
+        if a.get("lengthrange") is not None:
+            act_lengthrange[u] = a["lengthrange"]
+            continue
+        if (a["gaintype"] != GainType.MUSCLE
+                and a["biastype"] != BiasType.MUSCLE):
+            continue
+        gear0 = float(np.asarray(a["gear"]).reshape(-1)[0])
+        if a["trntype"] == TrnType.JOINT:
+            jid = actuator_trnid[u]
+            if not c.joints[jid]["limited"]:
+                raise ModelError(
+                    f"muscle actuator {a['name']!r} needs an explicit "
+                    "lengthrange or a limited joint"
+                )
+            vals = sorted([gear0 * jnt_range[jid][0], gear0 * jnt_range[jid][1]])
+            act_lengthrange[u] = vals
+        elif a["trntype"] == TrnType.TENDON:
+            tid = actuator_trnid[u]
+            if not c.tendons[tid]["limited"]:
+                raise ModelError(
+                    f"muscle actuator {a['name']!r} needs an explicit "
+                    "lengthrange or a limited tendon"
+                )
+            vals = sorted([gear0 * c.tendons[tid]["range"][0],
+                           gear0 * c.tendons[tid]["range"][1]])
+            act_lengthrange[u] = vals
+        else:
+            raise ModelError(
+                f"muscle actuator {a['name']!r}: lengthrange estimation "
+                "supports joint/tendon transmission only"
+            )
+
     # ----- equality id resolution -----
     eq_obj1id, eq_obj2id = [], []
     for e in c.equalities:
@@ -1804,6 +1861,8 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         actuator_gainprm=f(np.array([a["gainprm"] for a in c.actuators]).reshape(nu, 10)),
         actuator_biasprm=f(np.array([a["biasprm"] for a in c.actuators]).reshape(nu, 10)),
         actuator_dynprm=f(np.array([a["dynprm"] for a in c.actuators]).reshape(nu, 10)),
+        actuator_lengthrange=f(act_lengthrange),
+        actuator_acc0=f(np.zeros(nu)),
         eq_data=f(np.array([e["data"] for e in c.equalities]).reshape(neq, 11)),
         eq_solref=f(np.array([e["solref"] for e in c.equalities]).reshape(neq, 2)),
         eq_solimp=f(np.array([e["solimp"] for e in c.equalities]).reshape(neq, 5)),
@@ -2073,6 +2132,28 @@ def _set_const(model: Model) -> Model:
         spring[spring[:, 0] < 0, 0] = len0[spring[:, 0] < 0]
         spring[spring[:, 1] < 0, 1] = len0[spring[:, 1] < 0]
         extra["tendon_lengthspring"] = spring
+
+    # actuator_acc0: |M(qpos0)^-1 moment| for the unit actuator force
+    # (muscle force auto-scaling; mjModel.actuator_acc0 semantics).  The
+    # qpos0 moment is exact for joint and fixed/spatial-tendon
+    # transmissions (tj rows above); site transmissions report 0.
+    if model.nu:
+        from ..model import TrnType as _TRN
+
+        acc0 = np.zeros(model.nu)
+        gear = np.asarray(model.actuator_gear, dtype=np.float64)
+        for u in range(model.nu):
+            mom = np.zeros(nv)
+            tt = _TRN(model.actuator_trntype[u])
+            if tt == _TRN.JOINT:
+                j = model.actuator_trnid[u]
+                vadr = model.jnt_dofadr[j]
+                num = {0: 6, 1: 3, 2: 1, 3: 1}[int(model.jnt_type[j])]
+                mom[vadr : vadr + num] = gear[u][: num] if num > 1 else gear[u][0]
+            elif tt == _TRN.TENDON and model.ntendon:
+                mom = gear[u][0] * tj[model.actuator_trnid[u]]
+            acc0[u] = np.linalg.norm(np.linalg.solve(m_mat, mom))
+        extra["actuator_acc0"] = acc0
 
     return model.replace(
         dof_invweight0=np.asarray(dof_invweight0),

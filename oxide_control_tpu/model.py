@@ -71,11 +71,13 @@ class TrnType(enum.IntEnum):
 class GainType(enum.IntEnum):
     FIXED = 0
     AFFINE = 1
+    MUSCLE = 2
 
 
 class BiasType(enum.IntEnum):
     NONE = 0
     AFFINE = 1
+    MUSCLE = 2
 
 
 class DynType(enum.IntEnum):
@@ -83,6 +85,7 @@ class DynType(enum.IntEnum):
     INTEGRATOR = 1
     FILTER = 2
     FILTEREXACT = 3
+    MUSCLE = 4
 
 
 class EqType(enum.IntEnum):
@@ -362,6 +365,10 @@ class Model:
     mesh_vertadr: tuple = static_field(default=())
     mesh_vertnum: tuple = static_field(default=())
     mesh_vert: Any = None  # (sum vertnum, 3) leaf; None when nmesh == 0
+
+    # ----- muscle actuators ----------------------------------------------
+    actuator_lengthrange: Any = None  # (nu, 2) muscle length range
+    actuator_acc0: Any = None         # (nu,) |M^-1 moment| at qpos0
 
     # ----- site shapes (for touch-sensor volume clipping; mjtGeom vals) --
     site_type: tuple = static_field(default=())

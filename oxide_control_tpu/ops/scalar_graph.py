@@ -249,6 +249,13 @@ def supports(model: Model) -> bool:
         return False
     if any(k == 1 for k in getattr(model, "tendon_kind", ())):
         return False  # spatial tendons: general path only
+    if (model.opt.density != 0.0 or model.opt.viscosity != 0.0
+            or any(w != 0.0 for w in model.opt.wind)):
+        return False  # fluid forces: general path only
+    if any(DynType(t) == DynType.MUSCLE for t in model.actuator_dyntype):
+        return False  # muscle FLV curves: general path only
+    if any(GainType(t) == GainType.MUSCLE for t in model.actuator_gaintype):
+        return False
     stiffness = np.asarray(jax.device_get(model.jnt_stiffness))
     for j in range(model.njnt):
         jt = model.jnt_type[j]

@@ -477,7 +477,67 @@ def passive(model: Model, d: Data) -> Data:
         )
         frc = model.tendon_stiffness * disp - model.tendon_damping * vel
         qfrc = qfrc + moment.T @ frc
+    # fluid forces (mj_fluid inertia-box model): density/viscosity/wind
+    if (model.opt.density != 0.0 or model.opt.viscosity != 0.0
+            or any(w != 0.0 for w in model.opt.wind)):
+        qfrc = qfrc + _fluid_forces(model, d)
     return d.replace(qfrc_passive=qfrc)
+
+
+def _fluid_forces(model: Model, d: Data) -> jax.Array:
+    """mj_fluid analog: per-body drag from the equivalent inertia box.
+
+    Constants verified empirically against MuJoCo qfrc_passive (box probe):
+    half-sizes r_i = sqrt(1.5 (I_j + I_k - I_i) / m); viscous (low-Re)
+    F = -6 pi eta rbar v, tau = -8 pi eta rbar^3 omega with rbar = mean(r);
+    quadratic (density) F_i = -2 rho r_j r_k |v_i| v_i,
+    tau_i = -rho/2 r_i (r_j^4 + r_k^4) |w_i| w_i — all in the body's
+    inertial frame at xipos, wind subtracted from the linear velocity."""
+    dtype = d.qpos.dtype
+    rho = model.opt.density
+    eta = model.opt.viscosity
+    wind = jnp.asarray(model.opt.wind, dtype=dtype)
+    rootid = np.array(model.body_rootid, dtype=np.int32)
+    origin = d.subtree_com[rootid]
+
+    wrench = jnp.zeros((model.nbody, 6), dtype=dtype)  # world [force; torque]
+    mass_np = np.asarray(jax.device_get(model.body_mass))
+    for b in range(1, model.nbody):
+        if mass_np[b] <= 0:
+            continue
+        I = jnp.asarray(model.body_inertia[b])
+        m_b = model.body_mass[b]
+        I_j = jnp.stack([I[1], I[2], I[0]])
+        I_k = jnp.stack([I[2], I[0], I[1]])
+        rbox = jnp.sqrt(jnp.maximum(1.5 * (I_j + I_k - I) / m_b, 1e-12))
+        # local (inertial-frame) 6D velocity at xipos, wind-relative
+        w_w = d.cvel[b, :3]
+        v_w = d.cvel[b, 3:] + jnp.cross(w_w, d.xipos[b] - origin[b]) - wind
+        R = d.ximat[b]
+        w_l = R.T @ w_w
+        v_l = R.T @ v_w
+        rbar = jnp.mean(rbox)
+        f_l = jnp.zeros(3, dtype=dtype)
+        t_l = jnp.zeros(3, dtype=dtype)
+        if eta != 0.0:
+            f_l = f_l - 6.0 * jnp.pi * eta * rbar * v_l
+            t_l = t_l - 8.0 * jnp.pi * eta * rbar ** 3 * w_l
+        if rho != 0.0:
+            rj = jnp.stack([rbox[1], rbox[2], rbox[0]])
+            rk = jnp.stack([rbox[2], rbox[0], rbox[1]])
+            f_l = f_l - 2.0 * rho * rj * rk * jnp.abs(v_l) * v_l
+            t_l = t_l - 0.5 * rho * rbox * (rj ** 4 + rk ** 4) * (
+                jnp.abs(w_l) * w_l
+            )
+        wrench = wrench.at[b].set(jnp.concatenate([R @ f_l, R @ t_l]))
+
+    force = wrench[:, :3]
+    torque = wrench[:, 3:]
+    arm = d.xipos - origin
+    spatial = jnp.concatenate([torque + jnp.cross(arm, force), force], axis=-1)
+    mask = jnp.asarray(body_dof_mask(model), dtype=dtype)
+    proj = jnp.einsum("ik,bk->bi", d.cdof, spatial)
+    return jnp.einsum("bi,bi->i", mask, proj)
 
 
 # ---------------------------------------------------------------------------
@@ -572,6 +632,13 @@ def actuation(model: Model, d: Data) -> Data:
             ctrl,
             (ctrl - act_u) / tau,  # FILTER / FILTEREXACT
         )
+        # muscle activation dynamics (mju_muscleDynamics analog)
+        for u in np.flatnonzero(dyntype == DynType.MUSCLE):
+            from . import muscle as _muscle
+
+            act_dot_u = act_dot_u.at[u].set(_muscle.muscle_dynamics(
+                ctrl[u], act_u[u], model.actuator_dynprm[u]
+            ))
         act_dot = (
             jnp.zeros(model.na, dtype=dtype)
             .at[actadr[stateful]]
@@ -600,6 +667,24 @@ def actuation(model: Model, d: Data) -> Data:
         + model.actuator_biasprm[:, 1] * lengths
         + model.actuator_biasprm[:, 2] * velocity,
     )
+    # muscle FLV gain/bias (mju_muscleGain / mju_muscleBias analogs)
+    if np.any(gaintype == GainType.MUSCLE) or np.any(
+        np.array(model.actuator_biastype) == BiasType.MUSCLE
+    ):
+        from . import muscle as _muscle
+
+        for u in np.flatnonzero(gaintype == GainType.MUSCLE):
+            gain = gain.at[u].set(_muscle.muscle_gain(
+                lengths[u], velocity[u], model.actuator_lengthrange[u],
+                model.actuator_acc0[u], model.actuator_gainprm[u],
+            ))
+        for u in np.flatnonzero(
+            np.array(model.actuator_biastype) == BiasType.MUSCLE
+        ):
+            bias = bias.at[u].set(_muscle.muscle_bias(
+                lengths[u], model.actuator_lengthrange[u],
+                model.actuator_acc0[u], model.actuator_biasprm[u],
+            ))
     force = gain * force_input + bias
     flimited = jnp.asarray(model.actuator_forcelimited)
     force = jnp.where(

@@ -213,12 +213,14 @@ def main():
     # sharded Pallas kernel path is exercised by dryrun_multichip and
     # tests/test_sharding.py on the hopper model.
     fast = "fast-jax" if virtual else "fast"
+    # virtual-mesh sizes are small: every "device" shares one CPU, so the
+    # point is the sharding-overhead ratio, not absolute throughput
     cfgs = [
-        ("cheetah", "run", "general", 256, 20),
-        ("cheetah", "run", "general", 1024, 20),
-        ("humanoid", "stand", "general", 128, 10),
-        ("cheetah", "run", fast, 1024, 50),
-        ("humanoid", "stand", fast, 256, 10),
+        ("cheetah", "run", "general", 64, 10),
+        ("cheetah", "run", "general", 256, 10),
+        ("humanoid", "stand", "general", 32, 5),
+        ("cheetah", "run", fast, 128 if virtual else 1024, 10 if virtual else 100),
+        ("humanoid", "stand", fast, 32 if virtual else 1024, 5 if virtual else 100),
     ]
     for domain, task, path, pdb, spc in cfgs:
         batch = pdb * n_hi

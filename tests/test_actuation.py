@@ -6,12 +6,15 @@ meaningful when the engine actually integrates activation states as part of
 mj_step (SURVEY.md §2.2 actuation stage).
 """
 
+import jax
+import jax.numpy as jnp
 import mujoco
 import numpy as np
 
 from test_golden import compare
 
 import fixtures
+from oxide_control_tpu import load_model_from_xml
 
 
 def _with_actuator(base_xml, actuator_xml):
@@ -107,3 +110,88 @@ def test_act_matches_mujoco_fieldwise():
         d = fwd.step(m, d)
         np.testing.assert_allclose(np.asarray(d.act), rd.act, atol=1e-12,
                                    err_msg=f"step {i}")
+
+
+MUSCLE_XML = """
+<mujoco>
+  <option timestep="0.002" solver="Newton" iterations="10" tolerance="0"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint name="j1" type="hinge" axis="0 1 0" range="-60 40"
+             limited="true" damping="0.1"/>
+      <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" mass="1"/>
+      <body pos="0.3 0 0">
+        <joint name="j2" type="hinge" axis="0 1 0" range="0 120"
+               limited="true" damping="0.05"/>
+        <geom type="capsule" fromto="0 0 0 0.25 0 0" size="0.025" mass="0.5"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <muscle name="m1" joint="j1" gear="2" lengthrange="-2.0944 1.3963"/>
+    <muscle name="m2" joint="j2" force="150" lengthrange="0 2.0944"
+            timeconst="0.02 0.06" lmin="0.4" lmax="1.7" vmax="2"
+            fpmax="1.1" fvmax="1.4" tausmooth="0.1"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_muscle_actuators_golden():
+    """Muscle FLV actuators (VERDICT r2 item 6): activation dynamics with
+    activation-dependent time constants (incl. the tausmooth sigmoid
+    blend), force-length-velocity gain, passive bias, and force auto-
+    scaling via acc0 — full trajectories vs MuJoCo.  Explicit lengthrange
+    keeps the normalization oracle-exact (our compiler derives it from the
+    joint range; MuJoCo runs a simulation-based estimate)."""
+    import mujoco as mj
+
+    ref = mj.MjModel.from_xml_string(MUSCLE_XML)
+    m = load_model_from_xml(MUSCLE_XML)
+    np.testing.assert_allclose(
+        np.asarray(m.actuator_acc0), ref.actuator_acc0, rtol=1e-9
+    )
+    rd = mj.MjData(ref)
+    rng = np.random.default_rng(41)
+    nsteps = 500
+    holds = rng.uniform(0.0, 1.0, (nsteps // 25 + 1, ref.nu))
+    ctrls = np.repeat(holds, 25, axis=0)[:nsteps]
+
+    qp_ref, act_ref = [], []
+    for c in ctrls:
+        rd.ctrl[:] = c
+        mj.mj_step(ref, rd)
+        qp_ref.append(rd.qpos.copy())
+        act_ref.append(rd.act.copy())
+
+    from oxide_control_tpu.physics import forward as fwd
+    from oxide_control_tpu.state import make_data
+
+    d = make_data(m)
+
+    def body(d, ctrl):
+        d = d.replace(ctrl=ctrl)
+        d = fwd.step(m, d)
+        return d, (d.qpos, d.act)
+
+    _, (qp, act) = jax.lax.scan(body, d, jnp.asarray(ctrls))
+    err_q = np.max(np.abs(np.asarray(qp) - np.array(qp_ref)))
+    err_a = np.max(np.abs(np.asarray(act) - np.array(act_ref)))
+    assert err_q < 1e-8, err_q
+    assert err_a < 1e-8, err_a
+
+
+def test_muscle_derived_lengthrange():
+    """Without an explicit lengthrange the compiler derives it from the
+    limited joint range; MuJoCo's simulated estimate differs by ~1e-3, so
+    the trajectories track at a looser tolerance."""
+    xml = MUSCLE_XML.replace(' lengthrange="-2.0944 1.3963"', "").replace(
+        ' lengthrange="0 2.0944"', "")
+    import mujoco as mj
+
+    ref = mj.MjModel.from_xml_string(xml)
+    m = load_model_from_xml(xml)
+    np.testing.assert_allclose(
+        np.asarray(m.actuator_lengthrange), ref.actuator_lengthrange,
+        atol=5e-3,
+    )

@@ -453,3 +453,58 @@ def test_spatial_tendon_pulley_golden():
     </mujoco>
     """
     compare(xml, 400, seed=23, tol=1e-8)
+
+
+def test_fluid_forces_golden():
+    """mj_fluid inertia-box model (VERDICT r2 item 6): a 3-link planar
+    swimmer in a viscous+dense medium with wind — density drag, viscous
+    drag, and wind all active, vs MuJoCo trajectories."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002" density="1000" viscosity="0.5"
+              wind="0.1 -0.05 0" gravity="0 0 0"
+              solver="Newton" iterations="10" tolerance="0"/>
+      <worldbody>
+        <body name="head" pos="0 0 0.5">
+          <joint name="rx" type="slide" axis="1 0 0" damping="0"/>
+          <joint name="ry" type="slide" axis="0 1 0" damping="0"/>
+          <joint name="rz" type="hinge" axis="0 0 1" damping="0"/>
+          <geom type="capsule" fromto="0 0 0 0.15 0 0" size="0.03" mass="0.2"/>
+          <body pos="0.15 0 0">
+            <joint name="j1" type="hinge" axis="0 0 1" damping="0.01"/>
+            <geom type="capsule" fromto="0 0 0 0.15 0 0" size="0.025" mass="0.15"/>
+            <body pos="0.15 0 0">
+              <joint name="j2" type="hinge" axis="0 0 1" damping="0.01"/>
+              <geom type="capsule" fromto="0 0 0 0.15 0 0" size="0.02" mass="0.1"/>
+            </body>
+          </body>
+        </body>
+      </worldbody>
+      <actuator>
+        <motor joint="j1" gear="0.3" ctrlrange="-1 1"/>
+        <motor joint="j2" gear="0.2" ctrlrange="-1 1"/>
+      </actuator>
+    </mujoco>
+    """
+    compare(xml, 500, seed=31, tol=1e-7)
+
+
+def test_fluid_free_body_golden():
+    """Tumbling free box in a dense medium: rotational quadratic drag in
+    the inertial frame + wind, vs MuJoCo."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002" density="500" viscosity="1.2"
+              wind="0.3 0.2 -0.1" gravity="0 0 -1"/>
+      <worldbody>
+        <body pos="0 0 2" euler="20 35 10">
+          <freejoint/>
+          <geom type="box" size="0.1 0.2 0.05" mass="0.8"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    ref = mujoco.MjModel.from_xml_string(xml)
+    qpos = ref.qpos0.copy()
+    qvel = np.array([0.5, -0.3, 0.2, 2.0, -1.5, 3.0])
+    compare(xml, 500, seed=33, tol=1e-7, init=(qpos, qvel))
