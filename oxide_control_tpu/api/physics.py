@@ -113,9 +113,18 @@ class Physics:
         analog; physics.rs:48-50). Use after manual state writes."""
         self._data = self._forward_fn(self._model, self._data)
 
-    def reset(self) -> None:
-        """Restore model defaults (mj_resetData analog; physics.rs:52-54)."""
-        self._data = make_data(self._model)
+    def reset(self, keyframe: int | str | None = None) -> None:
+        """Restore model defaults (mj_resetData analog; physics.rs:52-54),
+        or load a model keyframe (mj_resetDataKeyframe analog) when
+        ``keyframe`` names one."""
+        if keyframe is None:
+            self._data = make_data(self._model)
+        else:
+            from ..state import reset_data_keyframe
+
+            self._data = reset_data_keyframe(
+                self._model, make_data(self._model), keyframe
+            )
 
     # -- name <-> id (reference physics.rs:56-62) ---------------------------
 

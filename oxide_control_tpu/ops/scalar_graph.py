@@ -222,6 +222,50 @@ def quat_integrate_scalar(q, w, dt):
     return qnormalize(qmul(q, dq))
 
 
+def atan2_sg(y, x):
+    """atan2 from arithmetic + sin/cos only: the Pallas TPU lowering has no
+    inverse-trig primitives, so build a polynomial estimate and polish with
+    two Newton steps on f(th) = y cos(th) - x sin(th) (derivative ~ -r),
+    which converges to machine precision from the ~1e-7 seed."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)
+    s = t * t
+    p = t * (0.9998660 + s * (-0.3302995 + s * (0.1801410 + s * (
+        -0.0851330 + s * 0.0208351))))
+    r = jnp.where(ay > ax, 0.5 * jnp.pi - p, p)
+    r = jnp.where(x < 0, jnp.pi - r, r)
+    th = jnp.where(y < 0, -r, r)
+    inv = 1.0 / jnp.maximum(jnp.sqrt(x * x + y * y), 1e-30)
+    for _ in range(2):
+        th = th + (y * jnp.cos(th) - x * jnp.sin(th)) * inv
+    return th
+
+
+def quat_sub_scalar(qa, qb):
+    """mju_subQuat in scalar form: 3D v with qb * exp(v/2) = qa."""
+    qdif = qmul((qb[0], neg(qb[1]), neg(qb[2]), neg(qb[3])), qa)
+    sgn = jnp.where(qdif[0] < 0, -1.0, 1.0)
+    qdif = tuple(mul(x, sgn) if not _is_const(x) else x * sgn for x in qdif)
+    sin_a_2 = jnp.sqrt(
+        jnp.maximum(
+            add(
+                add(mul(qdif[1], qdif[1]), mul(qdif[2], qdif[2])),
+                mul(qdif[3], qdif[3]),
+            ),
+            0.0,
+        )
+    )
+    angle = 2.0 * atan2_sg(sin_a_2, qdif[0])
+    safe = jnp.where(sin_a_2 > 0, sin_a_2, 1.0)
+    return tuple(
+        jnp.where(sin_a_2 > 0, qdif[1 + k] / safe * angle, 0.0)
+        for k in range(3)
+    )
+
+
 def motion_cross(v, c):
     """Spatial motion cross product on ((ang3), (lin3)) pairs."""
     va, vl = v
@@ -252,24 +296,18 @@ def supports(model: Model) -> bool:
     if (model.opt.density != 0.0 or model.opt.viscosity != 0.0
             or any(w != 0.0 for w in model.opt.wind)):
         return False  # fluid forces: general path only
-    if any(DynType(t) == DynType.MUSCLE for t in model.actuator_dyntype):
-        return False  # muscle FLV curves: general path only
-    if any(GainType(t) == GainType.MUSCLE for t in model.actuator_gaintype):
-        return False
     stiffness = np.asarray(jax.device_get(model.jnt_stiffness))
     for j in range(model.njnt):
         jt = model.jnt_type[j]
         if jt in (JointType.HINGE, JointType.SLIDE):
             continue
-        # free/ball joints: quaternion FK + manifold integration are built,
-        # but their limit rows and rotational springs are not
-        if model.jnt_limited[j]:
-            return False
-        if stiffness[j] > 0:
-            return False
-        # MuJoCo requires a free joint to be its body's only joint
-        if jt == JointType.FREE and model.body_jntnum[model.jnt_bodyid[j]] != 1:
-            return False
+        if jt == JointType.FREE:
+            # free-joint limit rows / springs are not built
+            if model.jnt_limited[j] or stiffness[j] > 0:
+                return False
+            # MuJoCo requires a free joint to be its body's only joint
+            if model.body_jntnum[model.jnt_bodyid[j]] != 1:
+                return False
     if model.opt.integrator not in (Integrator.EULER, Integrator.RK4):
         return False
     if model.opt.solver != SolverType.NEWTON:
@@ -319,7 +357,8 @@ class _ModelConsts:
             "actuator_gear", "actuator_ctrlrange", "actuator_forcerange",
             "actuator_gainprm", "actuator_biasprm", "pair_friction",
             "pair_solref", "pair_solimp", "pair_margin", "pair_gap",
-            "actuator_dynprm", "actuator_actrange", "dof_frictionloss",
+            "actuator_dynprm", "actuator_actrange", "actuator_lengthrange",
+            "actuator_acc0", "dof_frictionloss",
             "dof_solref", "dof_solimp", "tendon_range", "tendon_stiffness",
             "tendon_damping", "tendon_frictionloss", "tendon_lengthspring",
             "tendon_margin", "tendon_solref_lim", "tendon_solimp_lim",
@@ -624,13 +663,30 @@ def build_step(model: Model, with_env: bool = False, task=None):
 
         # ----------------- passive + actuation -----------------
         qfrc_passive = []
+        ball_springs = {}  # jnt id -> (3,) spring force tuple
         for i in range(nv):
             j = model.dof_jntid[i]
+            jt = model.jnt_type[j]
             qadr = model.jnt_qposadr[j]
+            vadr = model.jnt_dofadr[j]
             stiff = float(mc.jnt_stiffness[j])
             spring = 0.0
             if stiff:
-                spring = mul(-stiff, sub(qpos[qadr], float(mc.qpos_spring[qadr])))
+                if jt in (JointType.HINGE, JointType.SLIDE):
+                    spring = mul(
+                        -stiff, sub(qpos[qadr], float(mc.qpos_spring[qadr]))
+                    )
+                elif jt == JointType.BALL:
+                    # -stiffness * mju_subQuat(q, qspring) on the 3 dofs
+                    if j not in ball_springs:
+                        ball_springs[j] = quat_sub_scalar(
+                            tuple(qpos[qadr + k] for k in range(4)),
+                            tuple(
+                                float(mc.qpos_spring[qadr + k])
+                                for k in range(4)
+                            ),
+                        )
+                    spring = mul(-stiff, ball_springs[j][i - vadr])
             damp = mul(-float(mc.dof_damping[i]), qvel[i])
             qfrc_passive.append(add(spring, damp))
 
@@ -673,6 +729,12 @@ def build_step(model: Model, with_env: bool = False, task=None):
                 dyn = DynType(model.actuator_dyntype[u])
                 if dyn == DynType.INTEGRATOR:
                     act_dot[aadr] = c
+                elif dyn == DynType.MUSCLE:
+                    from ..physics import muscle as _muscle
+
+                    act_dot[aadr] = _muscle.muscle_dynamics(
+                        c, a_u, tuple(float(x) for x in mc.actuator_dynprm[u])
+                    )
                 else:  # FILTER / FILTEREXACT
                     tau = max(float(mc.actuator_dynprm[u][0]), 1e-15)
                     act_dot[aadr] = mul(sub(c, a_u), 1.0 / tau)
@@ -680,13 +742,30 @@ def build_step(model: Model, with_env: bool = False, task=None):
             else:
                 force_input = c
             gp = mc.actuator_gainprm[u]
-            if model.actuator_gaintype[u] == GainType.FIXED:
+            if GainType(model.actuator_gaintype[u]) == GainType.MUSCLE:
+                from ..physics import muscle as _muscle
+
+                lr = tuple(float(x) for x in mc.actuator_lengthrange[u])
+                a0 = float(mc.actuator_acc0[u])
+                gain = _muscle.muscle_gain(
+                    length, velocity, lr, a0,
+                    tuple(float(x) for x in gp),
+                )
+            elif model.actuator_gaintype[u] == GainType.FIXED:
                 gain = float(gp[0])
             else:
                 gain = add(add(float(gp[0]), mul(float(gp[1]), length)),
                            mul(float(gp[2]), velocity))
             bp = mc.actuator_biasprm[u]
-            if model.actuator_biastype[u] == BiasType.NONE:
+            if BiasType(model.actuator_biastype[u]) == BiasType.MUSCLE:
+                from ..physics import muscle as _muscle
+
+                lr = tuple(float(x) for x in mc.actuator_lengthrange[u])
+                a0 = float(mc.actuator_acc0[u])
+                bias = _muscle.muscle_bias(
+                    length, lr, a0, tuple(float(x) for x in bp)
+                )
+            elif model.actuator_biastype[u] == BiasType.NONE:
                 bias = 0.0
             else:
                 bias = add(add(float(bp[0]), mul(float(bp[1]), length)),
@@ -824,8 +903,8 @@ def build_step(model: Model, with_env: bool = False, task=None):
 
     def advance_act_sg(act, act_dot, dt):
         """mj_advance act integration in scalar form: plain Euler for
-        INTEGRATOR/FILTER, exact exponential update for FILTEREXACT, then
-        actrange clamp (mirrors integrate.advance_act)."""
+        INTEGRATOR/FILTER/MUSCLE, exact exponential update for FILTEREXACT,
+        then actrange clamp (mirrors integrate.advance_act)."""
         out = list(act)
         for u in range(nu):
             aadr = model.actuator_actadr[u]
@@ -1031,10 +1110,12 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                 kind="fri", floss=floss,
             ))
 
-    # joint limits
+    # scalar joint limits
     for j in range(model.njnt):
         if model.opt.disable_limit or not model.jnt_limited[j]:
             continue
+        if model.jnt_type[j] not in (JointType.HINGE, JointType.SLIDE):
+            continue  # ball limits handled below; free joints can't limit
         qadr = model.jnt_qposadr[j]
         vadr = model.jnt_dofadr[j]
         lo, hi = (float(x) for x in mc.jnt_range[j])
@@ -1053,6 +1134,47 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
         rows.append(dict(
             J={vadr: sign}, pos=pos, aref=aref, D=dcoef, exists=exists,
             kind="uni",
+        ))
+
+    # ball joint limits (one row per limited ball joint; constraint.py
+    # semantics: value = |rotation angle| wrapped to [0, pi], J = -axis)
+    for j in range(model.njnt):
+        if (model.opt.disable_limit or not model.jnt_limited[j]
+                or model.jnt_type[j] != JointType.BALL):
+            continue
+        qadr = model.jnt_qposadr[j]
+        vadr = model.jnt_dofadr[j]
+        q = qnormalize(tuple(qpos[qadr + k] for k in range(4)))
+        sin_half = jnp.sqrt(
+            jnp.maximum(
+                add(add(mul(q[1], q[1]), mul(q[2], q[2])), mul(q[3], q[3])),
+                0.0,
+            )
+        )
+        angle = 2.0 * atan2_sg(sin_half, q[0])
+        angle = jnp.where(angle > jnp.pi, angle - 2.0 * jnp.pi, angle)
+        safe = jnp.where(sin_half > 1e-12, sin_half, 1.0)
+        axis = [
+            jnp.where(sin_half > 1e-12, q[1 + k] / safe,
+                      1.0 if k == 2 else 0.0)
+            for k in range(3)
+        ]
+        sgn = jnp.sign(jnp.where(angle == 0, 1.0, angle))
+        axis = [a * sgn for a in axis]
+        value = jnp.abs(angle)
+        limit = float(max(mc.jnt_range[j]))
+        margin = float(mc.jnt_margin[j])
+        dist = limit - value
+        exists = dist < margin
+        pos = jnp.where(exists, dist - margin, 0.0)
+        k, b, imp = _kbi_const(model, mc.jnt_solref[j], mc.jnt_solimp[j],
+                               pos, h)
+        J = {vadr + kk: neg(axis[kk]) for kk in range(3)}
+        vel = _jdotv(J, qvel)
+        aref = -b * vel - k * imp * pos
+        dcoef = imp / (1.0 - imp) / max(float(mc.dof_invweight0[vadr]), 1e-12)
+        rows.append(dict(
+            J=J, pos=pos, aref=aref, D=dcoef, exists=exists, kind="uni",
         ))
 
     # tendon limits (mjCNSTR_LIMIT_TENDON: same shape as joint limits,

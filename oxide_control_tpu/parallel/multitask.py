@@ -30,7 +30,18 @@ def partition_devices(n_tasks: int, devices=None):
     if devices is None:
         devices = jax.devices()
     if n_tasks > len(devices):
-        # more tasks than devices: groups share devices round-robin
+        # more tasks than devices: groups share devices round-robin.  The
+        # tasks on one device serialize — warn loudly so an unexpected
+        # throughput collapse is traceable (VERDICT r2 weak #8)
+        import warnings
+
+        warnings.warn(
+            f"partition_devices: {n_tasks} tasks over {len(devices)} "
+            "devices — device groups are shared round-robin and co-located "
+            "tasks serialize; expect per-task throughput to drop by "
+            f"~{-(-n_tasks // len(devices))}x",
+            stacklevel=2,
+        )
         return [[devices[i % len(devices)]] for i in range(n_tasks)]
     per = len(devices) // n_tasks
     return [

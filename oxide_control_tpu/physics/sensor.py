@@ -61,11 +61,6 @@ _LIMIT_SENSORS = (
     SensorType.TENDONLIMITVEL, SensorType.TENDONLIMITFRC,
 )
 
-
-def _limit_row_map(model: Model):
-    from .constraint import limit_row_map
-
-    return limit_row_map(model)
 # sensors whose datatype exempts them from cutoff clamping: quaternions
 # (mjDATATYPE_QUATERNION) and unit axes (mjDATATYPE_AXIS) — MuJoCo skips
 # the cutoff for both, so a user cutoff < 1 must not corrupt a unit axis
@@ -73,6 +68,12 @@ _NO_CUTOFF = (
     SensorType.BALLQUAT, SensorType.FRAMEQUAT,
     SensorType.FRAMEXAXIS, SensorType.FRAMEYAXIS, SensorType.FRAMEZAXIS,
 )
+
+
+def _limit_row_map(model: Model):
+    from .constraint import limit_row_map
+
+    return limit_row_map(model)
 
 
 def _has_stage(model: Model, types) -> bool:

@@ -313,3 +313,93 @@ def test_elliptic_cone_scalar_graph():
         qp = np.stack([np.asarray(x) for x in q_l], axis=1)
         maxerr = max(maxerr, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
     assert maxerr < 2e-6, maxerr
+
+
+def test_muscle_scalar_graph():
+    """Muscle actuators (FLV gain/bias + activation dynamics) in the fast
+    path vs the general pipeline (r3 extension)."""
+    from oxide_control_tpu import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option solver="Newton" iterations="6" tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body pos="0 0 0.6">
+          <joint name="j1" type="hinge" axis="0 1 0" range="-60 40"
+                 limited="true" damping="0.1"/>
+          <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="1"/>
+          <body pos="0.3 0 0">
+            <joint name="j2" type="hinge" axis="0 1 0" range="0 120"
+                   limited="true" damping="0.05"/>
+            <geom type="sphere" size="0.05" mass="0.4"/>
+          </body>
+        </body>
+      </worldbody>
+      <actuator>
+        <muscle joint="j1" gear="2"/>
+        <muscle joint="j2" force="120" tausmooth="0.1"/>
+      </actuator>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert m.na == 2
+    assert sg.supports(m)
+    _parity_rollout(m, nsteps=20, tol=1e-7)
+
+
+def test_ball_limit_spring_scalar_graph():
+    """Limited + spring-loaded ball joints in the fast path (r3 extension):
+    angle-axis limit row and mju_subQuat rotational spring vs the general
+    pipeline."""
+    from oxide_control_tpu import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option solver="Newton" iterations="8" tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body pos="0 0 0.8">
+          <joint name="root" type="hinge" axis="0 1 0" damping="0.2"/>
+          <geom type="capsule" fromto="0 0 0 0.25 0 0" size="0.04" mass="1"/>
+          <body pos="0.25 0 0">
+            <joint name="wrist" type="ball" damping="0.05" stiffness="1.5"
+                   limited="true" range="0 50"/>
+            <geom type="sphere" size="0.05" mass="0.3"/>
+          </body>
+        </body>
+      </worldbody>
+      <actuator><motor joint="root" gear="2"/></actuator>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert sg.supports(m)
+    step_s = sg.build_step(m)
+    B = 8
+    rng = np.random.default_rng(13)
+    qpos = np.tile(np.asarray(m.qpos0), (B, 1))
+    # random small ball rotations (normalized on read by both paths)
+    qpos[:, 1:5] += rng.uniform(-0.25, 0.25, (B, 4))
+    qvel = rng.uniform(-3, 3, (B, m.nv))  # spins hard into the 50deg limit
+    ctrl = rng.uniform(-1, 1, (B, m.nu))
+    ws = np.zeros((B, m.nv))
+
+    d = make_data(m)
+    dB = jax.vmap(
+        lambda q, v, w, c: d.replace(qpos=q, qvel=v, qacc_warmstart=w, ctrl=c)
+    )(qpos, qvel, ws, ctrl)
+    step_ref = jax.jit(jax.vmap(lambda x: fwd.step(m, x)))
+
+    q_l = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
+    v_l = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
+    a_l = []
+    w_l = [jnp.asarray(ws[:, i]) for i in range(m.nv)]
+    c_l = [jnp.asarray(ctrl[:, i]) for i in range(m.nu)]
+
+    err = 0.0
+    for _ in range(25):
+        dB = step_ref(dB)
+        q_l, v_l, a_l, w_l = step_s(q_l, v_l, a_l, w_l, c_l)
+        qp = np.stack([np.asarray(x) for x in q_l], axis=1)
+        err = max(err, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
+    assert err < 1e-6, err
