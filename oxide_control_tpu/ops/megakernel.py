@@ -91,8 +91,20 @@ def build_rollout(
     coordinate row is a full lane vector per tile.
     """
     assert supports(model)
-    assert batch % tile == 0
     nq, nv, nu, na = model.nq, model.nv, model.nu, model.na
+
+    # VMEM-aware tile sizing (r2 weak #7: the 100MB scoped-vmem ceiling was
+    # a hard wall).  The Newton/Cholesky peak holds O(nv^2) live lane
+    # vectors per tile; when the rough estimate would blow the ceiling,
+    # halve the tile (the grid grows instead) rather than failing in
+    # Mosaic.  Estimate calibrated on humanoid (nv=27 peaks ~5k vectors).
+    est_vectors = 7 * nv * nv + 40 * nv + 6 * nq + 300
+    budget = 90 * 1024 * 1024
+    while tile > 128 and est_vectors * tile * 4 > budget:
+        tile //= 2
+    while batch % tile:
+        tile //= 2
+    assert batch % tile == 0
     na_rows = max(na, 1)   # Pallas block shapes must be nonzero
     nu_rows = max(nu, 1)
     step = sg.build_step(model)

@@ -111,7 +111,10 @@ def test_mesh_stl_roundtrip():
                                np.asarray(m_inl.body_inertia[1]), rtol=1e-6)
 
 
-def test_mesh_nonplane_pair_rejected():
+def test_mesh_nonplane_pair_supported():
+    """Mesh-vs-sphere pairs compile and get an MPR contact lane (r3: the
+    generic convex-convex narrowphase replaced the old compile-time
+    rejection; dynamics goldens live in tests/test_mpr.py)."""
     xml = f"""
 <mujoco>
   <asset><mesh name="t" vertex="{TETRA_VERTS}"/></asset>
@@ -123,5 +126,5 @@ def test_mesh_nonplane_pair_rejected():
   </worldbody>
 </mujoco>
 """
-    with pytest.raises(UnsupportedFeatureError):
-        load_model_from_xml(xml)
+    m = load_model_from_xml(xml)
+    assert m.npair == 1
