@@ -103,13 +103,67 @@ def measure_general(domain, task, n_devices, batch, steps_per_call):
     return batch * steps_per_call * TIMED_CALLS / wall
 
 
+_HOP_XML = """
+<mujoco>
+  <option timestep="0.01" solver="Newton" iterations="4" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 .1"/>
+    <body name="ball" pos="0 0 0.5">
+      <joint name="z" type="slide" axis="0 0 1"/>
+      <joint name="tilt" type="hinge" axis="0 1 0" range="-1 1"
+             limited="true"/>
+      <geom name="b" type="sphere" size="0.15" mass="1"/>
+    </body>
+  </worldbody>
+  <actuator><motor joint="z" gear="10"/></actuator>
+</mujoco>
+"""
+
+
+class _HopTask:
+    """Tiny contact task for the virtual-mesh kernel row (the suite
+    models' scalar graphs take 10s of minutes through the interpret-mode
+    CPU compiler; this exercises the identical kernel/shard_map path)."""
+
+    discount = 1.0
+    time_limit = 0.5
+
+    def init_episode(self, model, data, rng):
+        return data
+
+    def observe(self, model, data):
+        return jnp.concatenate([data.qpos, data.qvel])
+
+    def reward(self, model, data, obs, action):
+        return jnp.clip(data.qpos[0], 0.0, 1.0)
+
+    def done(self, model, data, obs):
+        return data.time > self.time_limit - 1e-6
+
+    def kernel_hooks(self, model):
+        from oxide_control_tpu.ops.megakernel import EnvHooks
+
+        return EnvHooks(reward=lambda q, v, c: jnp.clip(q[0], 0.0, 1.0),
+                        time_limit=self.time_limit, reset_noise=0.01)
+
+
+def _load_env(domain, task, batch):
+    if domain == "hopper":
+        from oxide_control_tpu import load_model_from_xml
+        from oxide_control_tpu.api.environment import BatchedEnvironment
+
+        model = load_model_from_xml(_HOP_XML, dtype=np.float32)
+        return BatchedEnvironment(model, _HopTask(), batch)
+    return suite.load_batched(domain, task, batch, dtype=np.float32)
+
+
 def measure_fast(domain, task, n_devices, batch, steps_per_call):
     """env-steps/s for the Pallas megakernel path under shard_map.
 
     Off-TPU the kernel runs in interpret mode, which is only tractable for
     small scalar graphs — the virtual-mesh config list below uses the
     hopper model for this row; real chips run the suite models."""
-    benv = suite.load_batched(domain, task, batch, dtype=np.float32)
+    benv = _load_env(domain, task, batch)
     virtual = jax.devices()[0].platform == "cpu"
     mesh = mesh_mod.make_env_mesh(n_devices) if n_devices > 1 else None
     roll = FastRollout(
@@ -221,7 +275,8 @@ def main():
         ("cheetah", "run", "general", 64, 10),
         ("cheetah", "run", "general", 256, 10),
         ("humanoid", "stand", "general", 32, 5),
-        ("cheetah", "run", fast, 128 if virtual else 1024, 10 if virtual else 100),
+        ("hopper", "contact", "fast", 64, 10) if virtual else
+        ("cheetah", "run", "fast", 1024, 100),
     ] + ([] if virtual else [("humanoid", "stand", "fast", 1024, 100)])
     for domain, task, path, pdb, spc in cfgs:
         print(f"[scaling] {domain}-{task} {path} pdb={pdb} ...", flush=True)
