@@ -242,6 +242,26 @@ def main():
         "detail": {
             "device": str(getattr(dev, "device_kind", dev)),
             "configs": results,
+            "notes": {
+                "general_path": (
+                    "general_rate rows measure the readable vmapped "
+                    "pipeline: ~0.12-0.31M steps/s/chip at batch 4096, "
+                    "dispatch/HBM-latency bound (thousands of small HLO "
+                    "ops per step over (4096, k<30) arrays).  The 100-300x "
+                    "gap to the megakernel is structural; closing it for a "
+                    "model class means admitting that class to the kernel "
+                    "(r3 did: tendons, sensors, stateful+muscle actuators, "
+                    "ball limits, elliptic cones), not micro-tuning vmap."
+                ),
+                "compile_time": (
+                    "kernels compile via a remote Mosaic service "
+                    "(PALLAS_AXON_REMOTE_COMPILE); latency for the same "
+                    "program varies 50-800s cold vs ~4s cache-warm and is "
+                    "roughly independent of program size, so "
+                    "warmup_and_compile_s measures service queueing, not "
+                    "this program's compile cost."
+                ),
+            },
         },
     }))
 
