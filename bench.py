@@ -1,11 +1,15 @@
 #!/usr/bin/env python
 """Benchmark: env-steps/s/chip for every BASELINE.md config on one chip.
 
-Configs (BASELINE.json ladder):
-  1. cartpole swingup @ 1024   (RK4 -> general vmapped path)
+Configs (BASELINE.json ladder + kernel-class widening rows):
+  1. cartpole swingup @ 1024   (Pallas megakernel; RK4 class)
   2. cheetah  run     @ 4096   (Pallas megakernel; the headline metric)
   3. walker   walk    @ 4096   (Pallas megakernel)
   4. humanoid run     @ 8192   (Pallas megakernel; free-joint class)
+  5. cheetah  run-policy-obs   (in-kernel MLP policy on in-kernel obs,
+     full per-step trajectory out — the RL-consumer configuration)
+  6. arms self-collide / fourbar equality (r4 kernel-class rows)
+  7. run-elliptic / walk-tendon-sensors (kernel + general both measured)
 
 Each config runs the full environment step (physics + reward + termination +
 masked auto-reset + random policy) in lockstep.  When the (model, task) pair
@@ -44,11 +48,22 @@ CONFIGS = (
     ("cheetah", "run", 4096, 200),
     ("walker", "walk", 4096, 200),
     ("humanoid", "run", 8192, 100),
-    # deliberately NOT kernel-eligible (VERDICT r2 item 1): these measure
-    # the general vmapped pipeline on chip.  run-elliptic = cheetah with
-    # elliptic friction cones (kernel Newton is pyramidal-only);
+    # cheetah-run with an IN-KERNEL MLP policy acting on in-kernel
+    # observations, full (obs, action, reward, done) trajectory written out
+    # every step (VERDICT r3 missing #1: the fast path as a REAL
+    # environment a policy consumes, not just a physics+reward counter)
+    ("cheetah", "run-policy-obs", 4096, 200),
+    # kernel-class widening rows (VERDICT r3 next #2): self-colliding
+    # capsule/sphere arms and a connect+joint equality four-bar, both on
+    # the megakernel
+    ("arms", "self-collide", 4096, 200),
+    ("fourbar", "equality", 4096, 200),
+    # general-path comparison rows (VERDICT r2 item 1): run-elliptic =
+    # cheetah with elliptic cones — KERNEL-eligible since r3 (the kernel
+    # Newton handles elliptic cone groups), so it reports both paths;
     # walk-tendon-sensors = walker + coupling tendon with frictionloss +
-    # IMU sensor suite (tendon friction rows + sensor evaluation)
+    # IMU sensor suite, also kernel-eligible, with the general row
+    # measuring the readable vmapped pipeline on the same model
     ("cheetah", "run-elliptic", 4096, 50),
     ("walker", "walk-tendon-sensors", 4096, 50),
 )
@@ -58,30 +73,53 @@ TIMED_CALLS = 10
 TARGET = 5.0e6  # BASELINE.json north star: >=5M env-steps/s/chip (cheetah)
 
 
-def bench_fast(benv, steps_per_call):
-    roll = rollout_mod.FastRollout(benv, steps_per_call)
+def bench_fast(benv, steps_per_call, policy=None, collect=False):
+    def build():
+        return rollout_mod.FastRollout(
+            benv, steps_per_call, policy=policy, collect=collect
+        )
+
+    roll = build()
+    params = (roll.init_params(jax.random.PRNGKey(7))
+              if policy is not None else None)
     state = roll.init(jax.random.PRNGKey(0))
     rng = jax.random.PRNGKey(1)
 
     t_compile = time.perf_counter()
     for _ in range(WARMUP_CALLS):
         rng, sub = jax.random.split(rng)
-        state, rew, div = roll.run(state, sub)
-    np.asarray(rew)  # host transfer = true device sync
+        state, traj = roll.run(state, sub, params)
+    np.asarray(traj.reward_sum)  # host transfer = true device sync
     compile_s = time.perf_counter() - t_compile
 
     div_total = 0
     t0 = time.perf_counter()
     for _ in range(TIMED_CALLS):
         rng, sub = jax.random.split(rng)
-        state, rew, div = roll.run(state, sub)
-    rew_host = np.asarray(rew)
-    div_total = int(np.sum(np.asarray(div)))
+        state, traj = roll.run(state, sub, params)
+    rew_host = np.asarray(traj.reward_sum)
+    div_total = int(np.sum(np.asarray(traj.diverged)))
     wall = time.perf_counter() - t0
     assert np.all(np.isfinite(rew_host))
+    if collect:
+        assert traj.obs is not None and np.all(
+            np.isfinite(np.asarray(traj.obs[-1]))
+        )
     # kernel observability (SURVEY.md 5.5): divergence-triggered auto-reset
     # count over the final timed call
     stats = {"diverged_resets": div_total}
+
+    # warm-compile probe (VERDICT r3 weak #4 / next #8): rebuild the SAME
+    # program in a fresh jit closure and time its first call — with the
+    # persistent compilation cache (JAX_COMPILATION_CACHE_DIR) warm this
+    # isolates cache-load + service queueing from actual Mosaic compile
+    # cost, giving the cold-vs-warm split per config
+    roll2 = build()
+    state2 = roll2.init(jax.random.PRNGKey(2))
+    t_warm = time.perf_counter()
+    state2, traj2 = roll2.run(state2, jax.random.PRNGKey(3), params)
+    np.asarray(traj2.reward_sum)
+    stats["compile_warm_s"] = round(time.perf_counter() - t_warm, 1)
     return wall, compile_s, "pallas-megakernel", stats
 
 
@@ -138,12 +176,103 @@ def bench_general(benv, steps_per_call):
     return wall, compile_s, "general-vmap", stats
 
 
+class _BenchTask:
+    """Minimal kernel-eligible task for the synthetic widening configs:
+    reward/observation on raw coordinates, small reset noise."""
+
+    discount = 1.0
+    time_limit = 10.0
+
+    def init_episode(self, model, data, rng):
+        import jax as _jax
+
+        noise = 0.05 * _jax.random.uniform(
+            rng, (model.nq,), dtype=data.qpos.dtype, minval=-1.0, maxval=1.0
+        )
+        return data.replace(qpos=data.qpos + noise)
+
+    def observe(self, model, data):
+        return jnp.concatenate([data.qpos, data.qvel])
+
+    def reward(self, model, data, obs, action):
+        return jnp.clip(data.qvel[0], 0.0, 1.0)
+
+    def done(self, model, data, obs):
+        return data.time > self.time_limit - 1e-6
+
+    def kernel_hooks(self, model):
+        from oxide_control_tpu.ops.megakernel import EnvHooks
+
+        return EnvHooks(
+            reward=lambda q, v, c: jnp.clip(v[0], 0.0, 1.0),
+            time_limit=self.time_limit,
+            reset_noise=0.05,
+            observe=lambda q, v: list(q) + list(v),
+            n_obs=model.nq + model.nv,
+        )
+
+
+_ARMS_XML = """
+<mujoco>
+  <option solver="Newton" iterations="8" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 .1"/>
+    <body pos="0 0 0.5">
+      <joint name="s1" type="hinge" axis="0 1 0" damping="0.05"/>
+      <geom name="armA" type="capsule" fromto="0 0 0 0.4 0 0" size="0.05"
+            mass="1"/>
+      <geom name="tipA" type="sphere" pos="0.45 0 0" size="0.05" mass="0.1"/>
+    </body>
+    <body pos="0.25 0 0.62">
+      <joint name="s2" type="hinge" axis="0 1 0" damping="0.05"/>
+      <geom name="armB" type="capsule" fromto="0 0 0 0.4 0 0" size="0.05"
+            mass="1"/>
+      <geom name="tipB" type="sphere" pos="0.45 0 0" size="0.05" mass="0.1"/>
+    </body>
+  </worldbody>
+  <actuator><motor joint="s1" gear="2"/><motor joint="s2" gear="2"/></actuator>
+</mujoco>
+"""
+
+_FOURBAR_XML = """
+<mujoco>
+  <option solver="Newton" iterations="10" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 .1"/>
+    <body pos="0 0 1">
+      <joint name="a1" type="hinge" axis="0 1 0" damping="0.1"/>
+      <geom type="capsule" fromto="0 0 0 0.4 0 0" size="0.03" mass="0.5"/>
+      <body name="link2" pos="0.4 0 0">
+        <joint name="a2" type="hinge" axis="0 1 0" damping="0.1"/>
+        <geom type="capsule" fromto="0 0 0 0.4 0 0" size="0.03" mass="0.5"/>
+      </body>
+    </body>
+    <body name="anchor" pos="0.8 0 1">
+      <joint name="b1" type="hinge" axis="0 1 0" damping="0.05"/>
+      <geom type="sphere" size="0.05" mass="0.3" contype="0" conaffinity="0"/>
+    </body>
+  </worldbody>
+  <equality>
+    <connect body1="link2" body2="anchor" anchor="0.4 0 0"/>
+    <joint joint1="a1" joint2="b1" polycoef="0 0.5 0.1 0 0"/>
+  </equality>
+  <actuator><motor joint="a1" gear="1"/></actuator>
+</mujoco>
+"""
+
+
 def load_config(domain, task, batch):
     """Suite configs plus the general-path variant configs."""
     import dataclasses
 
     from oxide_control_tpu.api.environment import BatchedEnvironment
 
+    if domain in ("arms", "fourbar"):
+        from oxide_control_tpu import load_model_from_xml
+
+        xml = _ARMS_XML if domain == "arms" else _FOURBAR_XML
+        model = load_model_from_xml(xml, dtype=np.float32)
+        return BatchedEnvironment(model, _BenchTask(), batch)
     if (domain, task) == ("cheetah", "run-elliptic"):
         from oxide_control_tpu.model import ConeType
         from oxide_control_tpu.suite import cheetah
@@ -186,11 +315,24 @@ GENERAL_ALSO = {("cheetah", "run-elliptic"), ("walker", "walk-tendon-sensors")}
 
 
 def bench_config(domain, task, batch, steps_per_call):
-    benv = load_config(domain, task, batch)
+    policy = None
+    collect = False
+    if task == "run-policy-obs":
+        from oxide_control_tpu.policy import MLPPolicy
+
+        policy = MLPPolicy(hidden=(64, 64))
+        collect = True
+        benv = load_config(domain, "run", batch)
+    else:
+        benv = load_config(domain, task, batch)
     stats = {}
     extra = {}
     if rollout_mod.fast_rollout_supported(benv):
-        wall, compile_s, path, stats = bench_fast(benv, steps_per_call)
+        wall, compile_s, path, stats = bench_fast(
+            benv, steps_per_call, policy=policy, collect=collect
+        )
+        if policy is not None:
+            path = "pallas-megakernel+policy+obs"
         if (domain, task) in GENERAL_ALSO:
             gw, gc, _, gstats = bench_general(benv, steps_per_call)
             extra = {

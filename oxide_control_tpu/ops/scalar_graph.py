@@ -16,12 +16,13 @@ rows) is compiled away at trace time into straight-line code:
   the reference pipeline) or inside a single Pallas TPU kernel
   (ops/megakernel.py) with K steps per kernel invocation.
 
-Supported model class (checked by :func:`supports`): hinge/slide/ball/free
-joints (quaternion FK + manifold Euler integration for the latter two),
-stateless motor/general actuators on scalar joints, plane-vs-sphere/capsule
-contacts (pyramidal, condim 1/3), scalar joint limits, Newton solver, Euler
-integrator.  This covers the whole cheetah/walker/humanoid benchmark ladder;
-the general pipeline remains the fallback for everything else.
+Supported model class: see the exact spec in :func:`supports` (hinge/slide/
+ball/free joints, Euler/RK4, Newton with pyramidal AND elliptic cones,
+plane/sphere/capsule/box contact pairs incl. self-collision, connect/weld/
+joint equality, stateful+muscle actuators with joint/tendon/site
+transmission, fixed tendons, friction loss).  This covers the whole
+cheetah/walker/humanoid benchmark ladder and beyond; the general pipeline
+remains the fallback for everything else.
 """
 
 from __future__ import annotations
@@ -177,6 +178,27 @@ def mat_vec(m, v):
     )
 
 
+def mat_vec_t(m, v):
+    """m^T v (world -> local)."""
+    return (
+        dot3((m[0], m[3], m[6]), v),
+        dot3((m[1], m[4], m[7]), v),
+        dot3((m[2], m[5], m[8]), v),
+    )
+
+
+def _mat_mul_const(a, b):
+    """3x3 (row-major tuple) product a @ b with constant folding."""
+    out = []
+    for i in range(3):
+        for j in range(3):
+            s = 0.0
+            for k in range(3):
+                s = fma(s, a[3 * i + k], b[3 * k + j])
+            out.append(s)
+    return tuple(out)
+
+
 def axis_angle_quat(axis_const, angle):
     """Constant unit axis + traced angle -> quat components."""
     half = angle * 0.5
@@ -278,18 +300,56 @@ def motion_cross(v, c):
 # ---------------------------------------------------------------------------
 
 
+# contact-pair types with a scalar narrowphase (see _np_contacts_sg)
+_SUPPORTED_PAIRS = (
+    (GeomType.PLANE, GeomType.SPHERE),
+    (GeomType.PLANE, GeomType.CAPSULE),
+    (GeomType.SPHERE, GeomType.SPHERE),
+    (GeomType.SPHERE, GeomType.CAPSULE),
+    (GeomType.SPHERE, GeomType.BOX),
+    (GeomType.CAPSULE, GeomType.CAPSULE),
+    (GeomType.CAPSULE, GeomType.BOX),
+)
+
+
 def supports(model: Model) -> bool:
     """True if the scalar-graph fast path can run this model.
 
-    Covered (r3): hinge/slide/ball/free joints, stateless AND stateful
-    (integrator/filter/filterexact) scalar-joint actuators, fixed tendons
-    (springs/dampers/limit/friction rows), dof friction loss, sensors
-    (stepping is sensor-independent; sensordata itself is not produced by
-    the kernel — rollout consumers read reward/state), plane contacts.
-    Still general-path only: equality constraints, mocap, elliptic cones,
-    non-plane contact pairs, implicit integrators, CG/PGS.
+    This docstring is the exact class spec; tests/test_scalar_graph.py
+    asserts the listed rejections match the code's behavior.
+
+    COVERED:
+    * joints: hinge, slide, ball (incl. limits + rotational springs), free
+      (as the body's only joint, unlimited, no spring)
+    * integrators: Euler (incl. implicit joint damping), RK4
+    * solver: Newton, pyramidal AND elliptic cones, condim 1 and 3
+    * contacts: plane-sphere, plane-capsule, sphere-sphere, sphere-capsule,
+      sphere-box, capsule-capsule, capsule-box (self-collision included)
+    * equality: connect, weld, joint — statically active (eq_active0)
+    * actuators: stateless + stateful (integrator/filter/filterexact/
+      muscle) with joint (hinge/slide), fixed-tendon, or site (no refsite)
+      transmission
+    * fixed tendons: springs/dampers/limits/friction loss; dof friction
+      loss
+    * sensors: models carrying sensors step in-kernel (stepping is sensor-
+      independent); sensordata itself is NOT computed by the kernel —
+      consumers read observations (EnvHooks.observe), rewards, and state
+
+    REJECTED (general path only):
+    * mocap bodies; runtime eq_active toggling (kernel uses eq_active0)
+    * spatial tendons; fluid forces (density/viscosity/wind)
+    * free-joint limits/springs; free joint sharing a body with other
+      joints; actuators on ball/free joints
+    * implicit/implicitfast integrators; CG/PGS solvers
+    * contact pairs outside the list above (box-box, cylinder, ellipsoid,
+      mesh, hfield); condim 4/6
     """
-    if model.neq or model.nmocap:
+    if model.nmocap:
+        return False
+    if any(not model.eq_active0[e] for e in range(model.neq)):
+        # statically inactive equality is fine to skip ONLY if the consumer
+        # never toggles it at runtime; the kernel state carries no
+        # eq_active, so reject models that declare inactive constraints
         return False
     if any(k == 1 for k in getattr(model, "tendon_kind", ())):
         return False  # spatial tendons: general path only
@@ -312,18 +372,18 @@ def supports(model: Model) -> bool:
         return False
     if model.opt.solver != SolverType.NEWTON:
         return False
-    if any(t != TrnType.JOINT for t in model.actuator_trntype):
-        return False
     for u in range(model.nu):
-        # transmission moments on quaternion joints not built
-        if model.jnt_type[model.actuator_trnid[u]] not in (
-            JointType.HINGE, JointType.SLIDE,
-        ):
+        trn = TrnType(model.actuator_trntype[u])
+        if trn == TrnType.JOINT:
+            # transmission moments on quaternion joints not built
+            if model.jnt_type[model.actuator_trnid[u]] not in (
+                JointType.HINGE, JointType.SLIDE,
+            ):
+                return False
+        elif trn not in (TrnType.TENDON, TrnType.SITE):
             return False
     for (t1, t2, pairs) in model.pair_groups:
-        if GeomType(t1) != GeomType.PLANE:
-            return False
-        if GeomType(t2) not in (GeomType.SPHERE, GeomType.CAPSULE):
+        if (GeomType(t1), GeomType(t2)) not in _SUPPORTED_PAIRS:
             return False
     for c in model.pair_condim:
         if c not in (1, 3):
@@ -363,7 +423,8 @@ class _ModelConsts:
             "tendon_damping", "tendon_frictionloss", "tendon_lengthspring",
             "tendon_margin", "tendon_solref_lim", "tendon_solimp_lim",
             "tendon_solref_fri", "tendon_solimp_fri", "tendon_invweight0",
-            "tendon_wrap_coef",
+            "tendon_wrap_coef", "site_pos", "site_quat", "eq_data",
+            "eq_solref", "eq_solimp",
         ):
             setattr(self, name, _np(getattr(model, name)))
 
@@ -407,10 +468,12 @@ def build_step(model: Model, with_env: bool = False, task=None):
     bd_mask = smooth.body_dof_mask(model)          # (nbody, nv)
     sub_mask = smooth.subtree_mask(model)          # (nbody, nbody)
 
-    def forward_pass(qpos, qvel, act, warmstart, ctrl, debug=None):
-        """Full forward dynamics to qacc (no integration); returns the
-        pieces integrators need (mass-matrix dict + Cholesky helpers)."""
-        # ----------------- FK -----------------
+    def fk_chain(qpos):
+        """FK + com geometry: every position-dependent quantity the
+        downstream stages (CRB/RNE/constraint rows/equality/transmission/
+        reward hooks) read.  Standalone so equality-row assembly can push a
+        jvp through it (the Gauss-Newton Jdot@qvel term) and so env hooks
+        can reuse the same FK the step uses (no hand-derived twins)."""
         # xanchor/xaxis are captured DURING the walk (before each joint's
         # own transform), matching mj_kinematics: a later joint of the same
         # body must not rotate an earlier slide axis.
@@ -480,6 +543,47 @@ def build_step(model: Model, with_env: bool = False, task=None):
                     acc = vadd3(acc, vscale3(xipos[c], w))
             subtree_com[b] = acc
 
+        # cdof per dof: (ang3, lin3)
+        cdof = [None] * nv
+        for j in range(model.njnt):
+            jt = model.jnt_type[j]
+            vadr = model.jnt_dofadr[j]
+            b = model.jnt_bodyid[j]
+            com = subtree_com[model.body_rootid[b]]
+            if jt == JointType.FREE:
+                # 3 world-aligned translations (constant cdof) + 3 rotations
+                # about the body-frame axes, anchored at the body origin
+                for i in range(3):
+                    e = [0.0, 0.0, 0.0]
+                    e[i] = 1.0
+                    cdof[vadr + i] = ((0.0, 0.0, 0.0), tuple(e))
+                off = vsub3(com, xpos[b])
+                for i in range(3):
+                    col = mat_col(xmat[b], i)
+                    cdof[vadr + 3 + i] = (col, cross3(col, off))
+            elif jt == JointType.BALL:
+                off = vsub3(com, xanchor[j])
+                for i in range(3):
+                    col = mat_col(xmat[b], i)
+                    cdof[vadr + i] = (col, cross3(col, off))
+            elif jt == JointType.SLIDE:
+                cdof[vadr] = ((0.0, 0.0, 0.0), xaxis[j])
+            else:
+                off = vsub3(com, xanchor[j])
+                cdof[vadr] = (xaxis[j], cross3(xaxis[j], off))
+        return dict(
+            xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, xanchor=xanchor,
+            xaxis=xaxis, subtree_com=subtree_com, cdof=cdof,
+        )
+
+    def forward_pass(qpos, qvel, act, warmstart, ctrl, debug=None):
+        """Full forward dynamics to qacc (no integration); returns the
+        pieces integrators need (mass-matrix dict + Cholesky helpers)."""
+        fk = fk_chain(qpos)
+        xpos, xquat, xmat, xipos = (fk["xpos"], fk["xquat"], fk["xmat"],
+                                    fk["xipos"])
+        subtree_com, cdof = fk["subtree_com"], fk["cdof"]
+
         # spatial inertia (I0 6 unique, h 3, mass const) about root com
         cin_i = [None] * nbody  # dict of 6: (xx, yy, zz, xy, xz, yz)
         cin_h = [None] * nbody
@@ -510,35 +614,6 @@ def build_step(model: Model, with_env: bool = False, task=None):
                     i0[(a_, c_)] = add(icc[(a_, c_)], paxis)
             cin_i[b] = i0
             cin_h[b] = vscale3(c3, mb)
-
-        # cdof per dof: (ang3, lin3)
-        cdof = [None] * nv
-        for j in range(model.njnt):
-            jt = model.jnt_type[j]
-            vadr = model.jnt_dofadr[j]
-            b = model.jnt_bodyid[j]
-            com = subtree_com[model.body_rootid[b]]
-            if jt == JointType.FREE:
-                # 3 world-aligned translations (constant cdof) + 3 rotations
-                # about the body-frame axes, anchored at the body origin
-                for i in range(3):
-                    e = [0.0, 0.0, 0.0]
-                    e[i] = 1.0
-                    cdof[vadr + i] = ((0.0, 0.0, 0.0), tuple(e))
-                off = vsub3(com, xpos[b])
-                for i in range(3):
-                    col = mat_col(xmat[b], i)
-                    cdof[vadr + 3 + i] = (col, cross3(col, off))
-            elif jt == JointType.BALL:
-                off = vsub3(com, xanchor[j])
-                for i in range(3):
-                    col = mat_col(xmat[b], i)
-                    cdof[vadr + i] = (col, cross3(col, off))
-            elif jt == JointType.SLIDE:
-                cdof[vadr] = ((0.0, 0.0, 0.0), xaxis[j])
-            else:
-                off = vsub3(com, xanchor[j])
-                cdof[vadr] = (xaxis[j], cross3(xaxis[j], off))
 
         # ----------------- CRB -> M -----------------
         crb_i = [dict(cin_i[b]) for b in range(nbody)]
@@ -711,16 +786,50 @@ def build_step(model: Model, with_env: bool = False, task=None):
         qfrc_actuator = [0.0] * nv
         act_dot = [0.0] * model.na
         for u in range(nu):
-            j = model.actuator_trnid[u]
-            vadr = model.jnt_dofadr[j]
-            qadr = model.jnt_qposadr[j]
-            gear = float(mc.actuator_gear[u][0])
             c = ctrl[u]
             if model.actuator_ctrllimited[u]:
                 lo, hi = mc.actuator_ctrlrange[u]
                 c = jnp.clip(c, float(lo), float(hi))
-            length = mul(gear, qpos[qadr])
-            velocity = mul(gear, qvel[vadr])
+            # transmission: sparse moment row + actuator length
+            # (mj_transmission: joint/tendon/site — smooth.actuator_moments)
+            trn = TrnType(model.actuator_trntype[u])
+            if trn == TrnType.JOINT:
+                j = model.actuator_trnid[u]
+                gear = float(mc.actuator_gear[u][0])
+                moment = {model.jnt_dofadr[j]: gear}
+                length = mul(gear, qpos[model.jnt_qposadr[j]])
+            elif trn == TrnType.TENDON:
+                t = model.actuator_trnid[u]
+                gear = float(mc.actuator_gear[u][0])
+                moment = {}
+                adr, num = model.tendon_adr[t], model.tendon_num[t]
+                for wix in range(adr, adr + num):
+                    vadr = model.jnt_dofadr[model.tendon_wrap_jnt[wix]]
+                    moment[vadr] = add(
+                        moment.get(vadr, 0.0),
+                        gear * float(mc.tendon_wrap_coef[wix]),
+                    )
+                length = mul(gear, ten_len[t])
+            else:  # SITE (no refsite): gear = 6D wrench in the site frame
+                s = model.actuator_trnid[u]
+                b = model.site_bodyid[s]
+                spos = vadd3(xpos[b], mat_vec(xmat[b], tuple(mc.site_pos[s])))
+                sq = tuple(mc.site_quat[s])
+                smat = _mat_mul_const(xmat[b], quat_to_mat(sq))
+                g6 = [float(x) for x in mc.actuator_gear[u]]
+                wf = mat_vec(smat, (g6[0], g6[1], g6[2]))
+                wt = mat_vec(smat, (g6[3], g6[4], g6[5]))
+                origin = subtree_com[model.body_rootid[b]]
+                arm = vsub3(spos, origin)
+                moment = {}
+                for dof in range(nv):
+                    if not bd_mask[b, dof]:
+                        continue
+                    ang, lin = cdof[dof]
+                    jacp = vadd3(lin, cross3(ang, arm))
+                    moment[dof] = add(dot3(jacp, wf), dot3(ang, wt))
+                length = 0.0
+            velocity = _jdotv(moment, qvel)
             # activation dynamics (mj_fwdActuation): stateful actuators
             # drive force from act; act_dot integrates in the step fns
             aadr = model.actuator_actadr[u]
@@ -774,7 +883,8 @@ def build_step(model: Model, with_env: bool = False, task=None):
             if model.actuator_forcelimited[u]:
                 lo, hi = mc.actuator_forcerange[u]
                 force = jnp.clip(force, float(lo), float(hi))
-            qfrc_actuator[vadr] = add(qfrc_actuator[vadr], mul(gear, force))
+            for dof, mval in moment.items():
+                qfrc_actuator[dof] = fma(qfrc_actuator[dof], mval, force)
 
         qfrc_smooth = [
             add(add(qfrc_passive[i], neg(qfrc_bias[i])), qfrc_actuator[i])
@@ -832,7 +942,8 @@ def build_step(model: Model, with_env: bool = False, task=None):
 
         # ----------------- collision + efc assembly -----------------
         rows, cones = _assemble_rows(
-            model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof, bd_mask, h
+            model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof, bd_mask, h,
+            fk_chain=fk_chain,
         )
         if debug is not None:
             debug.update(rows=rows, cones=cones)
@@ -1051,27 +1162,243 @@ def _kbi_const(model, solref, solimp, pos, h):
     return k_coef, b_coef, imp
 
 
+def _point_jac_sg(model, cdof, subtree_com, bd_mask, point, body):
+    """Sparse dict dof -> vec3: translational Jacobian of world `point`
+    rigidly attached to `body` (mj_jac jacp in scalar form)."""
+    out = {}
+    origin = subtree_com[model.body_rootid[body]]
+    arm = vsub3(point, origin)
+    for dof in range(model.nv):
+        if not bd_mask[body, dof]:
+            continue
+        ang, lin = cdof[dof]
+        out[dof] = vadd3(lin, cross3(ang, arm))
+    return out
+
+
+def _eq_cw_rows_sg(model, mc, fk, bd_mask):
+    """Connect/weld equality rows from an fk dict: {eq_id: [(J dict, pos,
+    dap), ...]} — scalar transcription of constraint._eq_cw_rows (semantics
+    verified against MuJoCo there)."""
+    from ..model import EqType
+
+    xpos, xmat, xquat = fk["xpos"], fk["xmat"], fk["xquat"]
+    subtree_com, cdof = fk["subtree_com"], fk["cdof"]
+    out = {}
+    for e in range(model.neq):
+        et = EqType(model.eq_type[e])
+        if et == EqType.JOINT:
+            continue
+        b1 = model.eq_obj1id[e]
+        b2 = max(model.eq_obj2id[e], 0)
+        data = [float(x) for x in mc.eq_data[e]]
+        rows_e = []
+        if et == EqType.CONNECT:
+            p1 = vadd3(xpos[b1], mat_vec(xmat[b1], tuple(data[:3])))
+            p2 = vadd3(xpos[b2], mat_vec(xmat[b2], tuple(data[3:6])))
+            j1 = _point_jac_sg(model, cdof, subtree_com, bd_mask, p1, b1)
+            j2 = _point_jac_sg(model, cdof, subtree_com, bd_mask, p2, b2)
+            cpos = vsub3(p1, p2)
+            dap = float(mc.body_invweight0[b1][0]
+                        + mc.body_invweight0[b2][0])
+            for i in range(3):
+                J = {}
+                for dof, v in j1.items():
+                    J[dof] = v[i]
+                for dof, v in j2.items():
+                    J[dof] = sub(J.get(dof, 0.0), v[i])
+                rows_e.append((J, cpos[i], dap))
+        else:  # WELD
+            anchor = tuple(data[:3])
+            relpos = tuple(data[3:6])
+            rq = np.asarray(data[6:10])
+            nrm = float(np.linalg.norm(rq))
+            relquat = tuple((rq / nrm if nrm > 0 else [1, 0, 0, 0]).tolist())
+            ts = float(data[10])
+            p1 = vadd3(xpos[b1], mat_vec(xmat[b1], relpos))
+            p2 = vadd3(xpos[b2], mat_vec(xmat[b2], anchor))
+            j1 = _point_jac_sg(model, cdof, subtree_com, bd_mask, p1, b1)
+            j2 = _point_jac_sg(model, cdof, subtree_com, bd_mask, p2, b2)
+            cpos = vsub3(p1, p2)
+            dap_t = float(mc.body_invweight0[b1][0]
+                          + mc.body_invweight0[b2][0])
+            for i in range(3):
+                J = {}
+                for dof, v in j1.items():
+                    J[dof] = v[i]
+                for dof, v in j2.items():
+                    J[dof] = sub(J.get(dof, 0.0), v[i])
+                rows_e.append((J, cpos[i], dap_t))
+            # rotation rows: pos = -ts * vec(conj(q1*relquat) q2),
+            # J = -ts/2 * V (jacr2 - jacr1), V[:,k] = vec(conj(A) e_k q2)
+            q1, q2 = xquat[b1], xquat[b2]
+            conj_a = tuple(
+                neg(x) if i_ else x
+                for i_, x in enumerate(qmul(q1, relquat))
+            )
+            crot = vscale3(qmul(conj_a, q2)[1:4], -ts)
+            v_cols = []
+            for kk in range(3):
+                e_k = tuple(1.0 if i_ == kk + 1 else 0.0 for i_ in range(4))
+                v_cols.append(qmul(qmul(conj_a, e_k), q2)[1:4])
+            # jacr rows: angular cdof difference (b2 - b1)
+            jr = {}
+            for dof in range(model.nv):
+                a2 = cdof[dof][0] if bd_mask[b2, dof] else None
+                a1 = cdof[dof][0] if bd_mask[b1, dof] else None
+                if a2 is None and a1 is None:
+                    continue
+                if a2 is None:
+                    jr[dof] = tuple(neg(x) for x in a1)
+                elif a1 is None:
+                    jr[dof] = a2
+                else:
+                    jr[dof] = vsub3(a2, a1)
+            dap_r = float(mc.body_invweight0[b1][1]
+                          + mc.body_invweight0[b2][1])
+            for i in range(3):
+                J = {}
+                for dof, av in jr.items():
+                    # row i of V @ jr: sum_k V[i,k] * jr[k]; V[i,k] =
+                    # v_cols[k][i]
+                    s = 0.0
+                    for kk in range(3):
+                        s = fma(s, v_cols[kk][i], av[kk])
+                    J[dof] = mul(-0.5 * ts, s)
+                rows_e.append((J, crot[i], dap_r))
+        out[e] = rows_e
+    return out
+
+
+def _qpos_tangent_sg(model, qpos, qvel):
+    """d(qpos)/dt on the manifold as per-coordinate scalars (the jvp
+    tangent for the equality Gauss-Newton term): scalar joints copy qvel,
+    quaternion joints use qdot = 0.5 * q * (0, w)."""
+    out = list(qpos)
+    for j in range(model.njnt):
+        jt = model.jnt_type[j]
+        qadr = model.jnt_qposadr[j]
+        vadr = model.jnt_dofadr[j]
+        if jt in (JointType.HINGE, JointType.SLIDE):
+            out[qadr] = qvel[vadr]
+        elif jt == JointType.BALL:
+            q = tuple(qpos[qadr + i] for i in range(4))
+            w = (0.0,) + tuple(qvel[vadr + i] for i in range(3))
+            qd = qmul(q, w)
+            for i in range(4):
+                out[qadr + i] = mul(0.5, qd[i])
+        else:  # FREE
+            for i in range(3):
+                out[qadr + i] = qvel[vadr + i]
+            q = tuple(qpos[qadr + 3 + i] for i in range(4))
+            w = (0.0,) + tuple(qvel[vadr + 3 + i] for i in range(3))
+            qd = qmul(q, w)
+            for i in range(4):
+                out[qadr + 3 + i] = mul(0.5, qd[i])
+    return out
+
+
 def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
-                   bd_mask, h):
-    """Friction + limit + contact rows as a list of dicts with sparse J.
+                   bd_mask, h, fk_chain=None):
+    """Equality + friction + limit + contact rows as dicts with sparse J.
 
     Row kinds (matching the general solver's force classes):
+      'eq'   bilateral equality rows: f = -D jar (always active)
       'uni'  unilateral (limits, pyramidal contact facets): f = max(-D jar, 0)
       'fri'  friction loss (box-bounded): f = clip(-D jar, -floss, +floss)
-    MuJoCo row order preserved: friction dof -> friction tendon -> joint
-    limits -> tendon limits -> contacts.
+    MuJoCo row order preserved: equality -> friction dof -> friction tendon
+    -> joint limits -> tendon limits -> contacts.
 
     Returns ``(rows, cones)``: flat rows plus elliptic-cone contact groups
     (each a dict with J (list of condim sparse rows), D/aref lists, exists,
     mu constants) handled by the cone force/cost/Hessian in the Newton
     solver.
     """
-    from ..model import ConeType
+    from ..model import ConeType, EqType
 
     elliptic = model.opt.cone == ConeType.ELLIPTIC
     rows = []
     cones = []
     nv = model.nv
+
+    # ----- equality (connect / weld / joint; mjCNSTR_EQUALITY) -----
+    # Kernel-class equality is statically active (model.eq_active0);
+    # runtime eq_active toggling stays on the general path.
+    if model.neq:
+        # weld needs xquat, which forward_pass does not pass through;
+        # re-running fk_chain builds identical expressions that XLA CSE
+        # merges with forward_pass's own FK
+        fk = fk_chain(list(qpos))
+        cw = _eq_cw_rows_sg(model, mc, fk, bd_mask)
+        cw_active = [e for e in sorted(cw) if model.eq_active0[e]]
+        if cw_active:
+            def rowvels(qp):
+                fk2 = fk_chain(list(qp))
+                rr = _eq_cw_rows_sg(model, mc, fk2, bd_mask)
+                return tuple(
+                    _jdotv(J, qvel)
+                    for e in cw_active for (J, _, _) in rr[e]
+                )
+
+            qdot = _qpos_tangent_sg(model, qpos, qvel)
+            cw_vel, cw_jdotv = jax.jvp(
+                rowvels, (tuple(qpos),), (tuple(qdot),)
+            )
+        ri = 0
+        for e in range(model.neq):
+            if not model.eq_active0[e]:
+                continue
+            et = EqType(model.eq_type[e])
+            solref = mc.eq_solref[e]
+            solimp = mc.eq_solimp[e]
+            if et == EqType.JOINT:
+                j1 = model.eq_obj1id[e]
+                j2 = model.eq_obj2id[e]
+                a1, v1 = model.jnt_qposadr[j1], model.jnt_dofadr[j1]
+                poly = [float(x) for x in mc.eq_data[e][:5]]
+                if j2 >= 0:
+                    a2, v2 = model.jnt_qposadr[j2], model.jnt_dofadr[j2]
+                    dif = sub(qpos[a2], float(mc.qpos0[a2]))
+                    # horner: poly(dif) and d/d(dif)
+                    pval = poly[4]
+                    dval = 0.0
+                    for c_ in (poly[3], poly[2], poly[1], poly[0]):
+                        dval = fma(pval, dval, dif)
+                        pval = fma(c_, pval, dif)
+                    pos = sub(sub(qpos[a1], float(mc.qpos0[a1])), pval)
+                    J = {v1: 1.0, v2: neg(dval)}
+                    dap = float(mc.dof_invweight0[v1]
+                                + mc.dof_invweight0[v2])
+                else:
+                    pos = sub(sub(qpos[a1], float(mc.qpos0[a1])), poly[0])
+                    J = {v1: 1.0}
+                    dap = float(mc.dof_invweight0[v1])
+                k, b, imp = _kbi_const(model, solref, solimp, pos, h)
+                vel = _jdotv(J, qvel)
+                aref = -b * vel - k * imp * pos
+                dcoef = imp / (1.0 - imp) / max(dap, 1e-12)
+                rows.append(dict(
+                    J=J, pos=pos, aref=aref, D=dcoef, exists=True,
+                    kind="eq",
+                ))
+            else:
+                # impedance evaluated on the norm of the whole residual
+                # vector (3 rows connect, 6 weld), per MuJoCo
+                res2 = 0.0
+                for (_, p, _) in cw[e]:
+                    res2 = fma(res2, p, p)
+                res_norm = jnp.sqrt(jnp.maximum(res2, 0.0))
+                k, b, imp = _kbi_const(model, solref, solimp, res_norm, h)
+                for (J, pos, dap) in cw[e]:
+                    vel = cw_vel[ri]
+                    acc0 = cw_jdotv[ri]
+                    ri += 1
+                    aref = -b * vel - k * imp * pos - acc0
+                    dcoef = imp / (1.0 - imp) / max(dap, 1e-12)
+                    rows.append(dict(
+                        J=J, pos=pos, aref=aref, D=dcoef, exists=True,
+                        kind="eq",
+                    ))
 
     # dof friction loss (box-bounded rows; mjCNSTR_FRICTION_DOF).  pos = 0
     # is a build-time constant, so the impedance folds: imp = dmin.
@@ -1213,80 +1540,46 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                 J=J, pos=pos, aref=aref, D=dcoef, exists=exists, kind="uni",
             ))
 
-    # plane contacts
+    # contacts: static pair table; per pair type a closed-form scalar
+    # narrowphase yields a fixed number of (dist, pos, normal, t1|None)
+    # candidate lanes (transcriptions of physics/collision.py's primitives)
     lane = 0
     for (t1, t2, pairs) in model.pair_groups:
+        ta, tb = GeomType(t1), GeomType(t2)
         kmax = max_contacts_per_pair(t1, t2)
         for (g1, g2) in pairs:
-            plane_b = model.geom_bodyid[g1]
-            body = model.geom_bodyid[g2]
-            # world plane: position/orientation of plane geom
-            # (plane on world body with constant pose in suite models, but
-            # support moving planes via FK chain anyway)
-            pmat = _geom_mat(model, mc, g1, xmat)
-            ppos = _geom_pos(model, mc, g1, xpos, xmat)
-            n = mat_col(pmat, 2)
-            gpos = _geom_pos(model, mc, g2, xpos, xmat)
-            gmat = _geom_mat(model, mc, g2, xmat)
-            r = float(mc.geom_size[g2][0])
+            pidx = _lane_to_pair(model, lane)
+            b1 = model.geom_bodyid[g1]
+            b2 = model.geom_bodyid[g2]
+            condim = model.pair_condim[pidx]
+            friction = mc.pair_friction[pidx]
+            solref = mc.pair_solref[pidx]
+            solimp = mc.pair_solimp[pidx]
+            inclmargin = float(mc.pair_margin[pidx] - mc.pair_gap[pidx])
+            iw = float(mc.body_invweight0[b1][0] + mc.body_invweight0[b2][0])
 
-            if GeomType(t2) == GeomType.SPHERE:
-                points = [gpos]
-            else:  # capsule: two end points
-                hl = float(mc.geom_size[g2][1])
-                axis = mat_col(gmat, 2)
-                points = [
-                    vadd3(gpos, vscale3(axis, hl)),
-                    vsub3(gpos, vscale3(axis, hl)),
-                ]
-                # frame tangent along capsule axis projection
-                t1v = vsub3(axis, vscale3(n, dot3(n, axis)))
-                t1n = jnp.sqrt(jnp.maximum(dot3(t1v, t1v), 1e-20))
-                # fallback: geom x axis projection
-                altv = mat_col(gmat, 0)
-                alt = vsub3(altv, vscale3(n, dot3(n, altv)))
-                altn = jnp.sqrt(jnp.maximum(dot3(alt, alt), 1e-20))
-                use_alt = t1n < 1e-10
-                t1u = tuple(
-                    jnp.where(use_alt, a / altn, t / t1n)
-                    for t, a in zip(t1v, alt)
-                )
+            cands = _np_contacts_sg(model, mc, ta, tb, g1, g2, xpos, xmat)
+            assert len(cands) == kmax, (ta, tb, len(cands), kmax)
 
-            if GeomType(t2) == GeomType.SPHERE:
-                # mju_makeFrame
-                t1u = None
-
-            condim = model.pair_condim[_lane_to_pair(model, lane)]
-            friction = mc.pair_friction[_lane_to_pair(model, lane)]
-            solref = mc.pair_solref[_lane_to_pair(model, lane)]
-            solimp = mc.pair_solimp[_lane_to_pair(model, lane)]
-            inclmargin = float(
-                mc.pair_margin[_lane_to_pair(model, lane)]
-                - mc.pair_gap[_lane_to_pair(model, lane)]
-            )
-            iw = float(mc.body_invweight0[plane_b][0] + mc.body_invweight0[body][0])
-
-            for point in points:
-                dist = sub(dot3(n, point), add(dot3(n, ppos), r))
+            for (dist, cpos, n, t1u) in cands:
                 exists = dist < inclmargin
-                posr = jnp.where(exists, dist - inclmargin, 0.0)
-                cpos = vsub3(point, vscale3(n, add(r, mul(0.5, dist))))
+                posr = jnp.where(exists, sub(dist, inclmargin), 0.0)
                 # tangent frame
                 if t1u is None:
                     t1f, t2f = _make_frame_scalar(n)
                 else:
                     t1f = t1u
                     t2f = cross3(n, t1f)
-                # relative jacobian (body - plane_body) at cpos
+                # relative jacobian (body2 - body1) at cpos
                 jrows = _point_jac_rel(
-                    model, cdof, subtree_com, bd_mask, cpos, plane_b, body
+                    model, cdof, subtree_com, bd_mask, cpos, b1, b2
                 )  # dict dof -> vec3
                 jn = {dof: dot3(n, v) for dof, v in jrows.items()}
-                k, b, imp = _kbi_const(model, solref, solimp, posr, h)
+                k, b_, imp = _kbi_const(model, solref, solimp, posr, h)
                 dapn = imp / (1.0 - imp)
                 if condim == 1:
                     vel = _jdotv(jn, qvel)
-                    aref = -b * vel - k * imp * posr
+                    aref = -b_ * vel - k * imp * posr
                     rows.append(dict(
                         J=jn, pos=posr, aref=aref,
                         D=dapn / max(iw, 1e-12),
@@ -1308,9 +1601,9 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                            d0 * impr * (mus[1] / mu0) ** 2]
                     vel_n = _jdotv(jn, qvel)
                     aref_c = [
-                        -b * vel_n - k * imp * posr,
-                        mul(-b, _jdotv(jt1, qvel)),
-                        mul(-b, _jdotv(jt2, qvel)),
+                        -b_ * vel_n - k * imp * posr,
+                        mul(-b_, _jdotv(jt1, qvel)),
+                        mul(-b_, _jdotv(jt2, qvel)),
                     ]
                     cones.append(dict(
                         J=[jn, jt1, jt2], D=D_c, aref=aref_c, pos=posr,
@@ -1327,7 +1620,7 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                             for dof, val in jt.items():
                                 J[dof] = add(J.get(dof, 0.0), mul(sgn * mu, val))
                             vel = _jdotv(J, qvel)
-                            aref = -b * vel - k * imp * posr
+                            aref = -b_ * vel - k * imp * posr
                             rows.append(dict(
                                 J=J, pos=posr, aref=aref,
                                 D=dapn / max(dap, 1e-12),
@@ -1335,6 +1628,218 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                             ))
                 lane += 1
     return rows, cones
+
+
+# ---------------------------------------------------------------------------
+# scalar narrowphases (transcriptions of physics/collision.py primitives;
+# same guards and tie-breaks so kernel trajectories match the general path)
+# ---------------------------------------------------------------------------
+
+
+def _np_sphere_sphere_sg(p1, r1, p2, r2):
+    """collision._sphere_sphere_raw in scalar form."""
+    delta = vsub3(p2, p1)
+    d = jnp.sqrt(jnp.maximum(dot3(delta, delta), 0.0))
+    good = d > 1e-12
+    safe = jnp.where(good, d, 1.0)
+    fallback = (0.0, 0.0, 1.0)
+    n = tuple(
+        jnp.where(good, delta[i] / safe, fallback[i]) for i in range(3)
+    )
+    dist = sub(d, r1 + r2)
+    pos = vadd3(p1, vscale3(n, add(r1, mul(0.5, dist))))
+    return dist, pos, n
+
+
+def _np_seg_closest_sg(a, b, p):
+    """collision._closest_on_segment in scalar form."""
+    ab = vsub3(b, a)
+    denom = dot3(ab, ab)
+    good = denom > 1e-16
+    safe = jnp.where(good, denom, 1.0)
+    t = jnp.clip(
+        jnp.where(good, dot3(vsub3(p, a), ab) / safe, 0.0), 0.0, 1.0
+    )
+    return vadd3(a, vscale3(ab, t))
+
+
+def _np_seg_seg_sg(a1, b1, a2, b2):
+    """collision._segment_segment in scalar form (same clamping order)."""
+    d1 = vsub3(b1, a1)
+    d2 = vsub3(b2, a2)
+    r = vsub3(a1, a2)
+    a = dot3(d1, d1)
+    e = dot3(d2, d2)
+    f = dot3(d2, r)
+    c = dot3(d1, r)
+    b = dot3(d1, d2)
+    denom = sub(mul(a, e), mul(b, b))
+    gd = denom > 1e-14
+    sd = jnp.where(gd, denom, 1.0)
+    s = jnp.where(
+        gd, jnp.clip(sub(mul(b, f), mul(c, e)) / sd, 0.0, 1.0), 0.0
+    )
+    ge = e > 1e-14
+    se = jnp.where(ge, e, 1.0)
+    t = jnp.where(ge, add(mul(b, s), f) / se, 0.0)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    ga = a > 1e-14
+    sa = jnp.where(ga, a, 1.0)
+    s = jnp.where(
+        jnp.abs(t - t_cl) > 0,
+        jnp.clip(jnp.where(ga, sub(mul(b, t_cl), c) / sa, 0.0), 0.0, 1.0),
+        s,
+    )
+    t = t_cl
+    return vadd3(a1, vscale3(d1, s)), vadd3(a2, vscale3(d2, t))
+
+
+def _np_sphere_box_sg(spos, r, bpos, bmat, bsize):
+    """collision._sphere_box in scalar form (incl. the inside branch's
+    first-min axis tie-break of jnp.argmin)."""
+    local = mat_vec_t(bmat, vsub3(spos, bpos))
+    clamped = tuple(
+        jnp.clip(local[i], -bsize[i], bsize[i]) for i in range(3)
+    )
+    inside = ((jnp.abs(local[0]) < bsize[0])
+              & (jnp.abs(local[1]) < bsize[1])
+              & (jnp.abs(local[2]) < bsize[2]))
+    closest_out = vadd3(bpos, mat_vec(bmat, clamped))
+    delta = vsub3(spos, closest_out)
+    dn = jnp.sqrt(jnp.maximum(dot3(delta, delta), 0.0))
+    gd = dn > 1e-12
+    sdn = jnp.where(gd, dn, 1.0)
+    zcol = mat_col(bmat, 2)
+    n_out = tuple(
+        jnp.where(gd, delta[i] / sdn, zcol[i]) for i in range(3)
+    )
+    dist_out = sub(dn, r)
+    depth = tuple(sub(bsize[i], jnp.abs(local[i])) for i in range(3))
+    is0 = (depth[0] <= depth[1]) & (depth[0] <= depth[2])
+    is1 = (~is0) & (depth[1] <= depth[2])
+    sgn = tuple(jnp.sign(local[i]) for i in range(3))
+    cols = [mat_col(bmat, i) for i in range(3)]
+    n_in = tuple(
+        jnp.where(is0, sgn[0] * cols[0][kk],
+                  jnp.where(is1, sgn[1] * cols[1][kk], sgn[2] * cols[2][kk]))
+        for kk in range(3)
+    )
+    depth_min = jnp.where(is0, depth[0],
+                          jnp.where(is1, depth[1], depth[2]))
+    dist_in = -(depth_min + r)
+    dist = jnp.where(inside, dist_in, dist_out)
+    n = tuple(jnp.where(inside, -n_in[kk], neg(n_out[kk])) for kk in range(3))
+    pos = vadd3(spos, vscale3(n, add(r, mul(0.5, dist))))
+    return dist, pos, n
+
+
+def _np_contacts_sg(model, mc, ta, tb, g1, g2, xpos, xmat):
+    """Scalar narrowphase dispatch for one candidate pair: list of
+    ``(dist, pos, normal, t1|None)`` lanes, len == max_contacts_per_pair.
+    Normals point geom1 -> geom2, matching the general collision stage."""
+    p1 = _geom_pos(model, mc, g1, xpos, xmat)
+    m1 = _geom_mat(model, mc, g1, xmat)
+    p2 = _geom_pos(model, mc, g2, xpos, xmat)
+    m2 = _geom_mat(model, mc, g2, xmat)
+    s1 = [float(x) for x in mc.geom_size[g1]]
+    s2 = [float(x) for x in mc.geom_size[g2]]
+
+    if ta == GeomType.PLANE and tb == GeomType.SPHERE:
+        n = mat_col(m1, 2)
+        r = s2[0]
+        dist = sub(dot3(n, p2), add(dot3(n, p1), r))
+        pos = vsub3(p2, vscale3(n, add(r, mul(0.5, dist))))
+        return [(dist, pos, n, None)]
+
+    if ta == GeomType.PLANE and tb == GeomType.CAPSULE:
+        n = mat_col(m1, 2)
+        r, hl = s2[0], s2[1]
+        axis = mat_col(m2, 2)
+        # frame tangent along the capsule axis projection (mjc_PlaneCapsule)
+        t1v = vsub3(axis, vscale3(n, dot3(n, axis)))
+        t1n = jnp.sqrt(jnp.maximum(dot3(t1v, t1v), 1e-20))
+        altv = mat_col(m2, 0)
+        alt = vsub3(altv, vscale3(n, dot3(n, altv)))
+        altn = jnp.sqrt(jnp.maximum(dot3(alt, alt), 1e-20))
+        use_alt = t1n < 1e-10
+        t1u = tuple(
+            jnp.where(use_alt, a_ / altn, t_ / t1n)
+            for t_, a_ in zip(t1v, alt)
+        )
+        out = []
+        for sgn in (1.0, -1.0):
+            point = vadd3(p2, vscale3(axis, sgn * hl))
+            dist = sub(dot3(n, point), add(dot3(n, p1), r))
+            pos = vsub3(point, vscale3(n, add(r, mul(0.5, dist))))
+            out.append((dist, pos, n, t1u))
+        return out
+
+    if (ta, tb) == (GeomType.SPHERE, GeomType.SPHERE):
+        dist, pos, n = _np_sphere_sphere_sg(p1, s1[0], p2, s2[0])
+        return [(dist, pos, n, None)]
+
+    if (ta, tb) == (GeomType.SPHERE, GeomType.CAPSULE):
+        r2c, hl = s2[0], s2[1]
+        axis = mat_col(m2, 2)
+        closest = _np_seg_closest_sg(
+            vsub3(p2, vscale3(axis, hl)), vadd3(p2, vscale3(axis, hl)), p1
+        )
+        dist, pos, n = _np_sphere_sphere_sg(p1, s1[0], closest, r2c)
+        return [(dist, pos, n, None)]
+
+    if (ta, tb) == (GeomType.CAPSULE, GeomType.CAPSULE):
+        r1c, hl1 = s1[0], s1[1]
+        r2c, hl2 = s2[0], s2[1]
+        ax1 = mat_col(m1, 2)
+        ax2 = mat_col(m2, 2)
+        q1, q2 = _np_seg_seg_sg(
+            vsub3(p1, vscale3(ax1, hl1)), vadd3(p1, vscale3(ax1, hl1)),
+            vsub3(p2, vscale3(ax2, hl2)), vadd3(p2, vscale3(ax2, hl2)),
+        )
+        dist, pos, n = _np_sphere_sphere_sg(q1, r1c, q2, r2c)
+        return [(dist, pos, n, None)]
+
+    if (ta, tb) == (GeomType.SPHERE, GeomType.BOX):
+        dist, pos, n = _np_sphere_box_sg(p1, s1[0], p2, m2, s2)
+        return [(dist, pos, n, None)]
+
+    if (ta, tb) == (GeomType.CAPSULE, GeomType.BOX):
+        r, hl = s1[0], s1[1]
+        axis = mat_col(m1, 2)
+        a = vsub3(p1, vscale3(axis, hl))
+        b = vadd3(p1, vscale3(axis, hl))
+        # nearest segment point to the box: 8 fixed alternating-projection
+        # iterations (collision._capsule_box)
+        t = 0.5
+        seg = vsub3(b, a)
+        denom = jnp.maximum(dot3(seg, seg), 1e-12)
+        for _ in range(8):
+            p = vadd3(a, vscale3(seg, t))
+            q_local = tuple(
+                jnp.clip(mat_vec_t(m2, vsub3(p, p2))[i], -s2[i], s2[i])
+                for i in range(3)
+            )
+            q = vadd3(p2, mat_vec(m2, q_local))
+            t = jnp.clip(dot3(vsub3(q, a), seg) / denom, 0.0, 1.0)
+        mid = vadd3(a, vscale3(seg, t))
+        cands = [
+            _np_sphere_box_sg(point, r, p2, m2, s2) for point in (a, b, mid)
+        ]
+        # the mid lane only fires when strictly deeper than both end lanes
+        # (segment crossing an edge); otherwise it would duplicate an
+        # endpoint contact and double the force relative to MuJoCo
+        d_mid = cands[2][0]
+        redundant = d_mid >= jnp.minimum(cands[0][0], cands[1][0]) - 1e-10
+        d_mid = jnp.where(redundant, 1e10, d_mid)
+        return [
+            (cands[0][0], cands[0][1], cands[0][2], None),
+            (cands[1][0], cands[1][1], cands[1][2], None),
+            (d_mid, cands[2][1], cands[2][2], None),
+        ]
+
+    raise AssertionError(
+        f"pair type {ta.name}-{tb.name} not in the scalar-graph class"
+    )
 
 
 def _lane_to_pair(model, lane):
@@ -1413,10 +1918,13 @@ def _jdotv(jrow, qvel):
 def _row_force_act(r, jar_r):
     """(force, quadratic-zone mask) of one row at residual ``jar_r``.
 
+    eq:  f = -D jar, always active (bilateral equality rows);
     uni: f = max(-D jar, 0) on existing rows (limits / pyramid facets);
     fri: f = clip(-D jar, -floss, +floss) (friction-loss box bound) —
     the quadratic zone is |D jar| < floss, outside it the cost is linear
     (MuJoCo friction-row Huber cost)."""
+    if r["kind"] == "eq":
+        return -r["D"] * jar_r, True
     if r["kind"] == "fri":
         fl = r["floss"]
         g = r["D"] * jar_r
@@ -1426,6 +1934,8 @@ def _row_force_act(r, jar_r):
 
 
 def _row_cost(r, jar_r):
+    if r["kind"] == "eq":
+        return 0.5 * r["D"] * jar_r * jar_r
     if r["kind"] == "fri":
         fl = r["floss"]
         g = r["D"] * jar_r

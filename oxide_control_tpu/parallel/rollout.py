@@ -80,69 +80,116 @@ def fast_rollout_supported(benv: BatchedEnvironment) -> bool:
     return mk.supports(benv.model) and hasattr(benv.task, "kernel_hooks")
 
 
+class Trajectory:
+    """Per-call rollout outputs (struct-of-arrays, time-major).
+
+    Always present: ``reward_sum (B,)`` (per-env sum over the K steps;
+    auto-reset lanes keep accumulating) and ``diverged (B,)`` (divergence-
+    triggered auto-reset count, SURVEY.md 5.5 observability).
+
+    With ``collect=True``: ``obs (K, n_obs, B)`` — the pre-step observation
+    the policy acted on at each step — plus per-step ``rewards (K, B)`` and
+    ``dones (K, B)``, and ``ctrls (K, nu, B)`` when an in-kernel policy
+    generated the actions.  Together: the (s_t, a_t, r_t, done_t) tuple an
+    RL consumer trains on, matching the reference's contract that ``step``
+    yields an observation every step (lib.rs:68-87).
+    """
+
+    def __init__(self, reward_sum, diverged, obs=None, rewards=None,
+                 dones=None, ctrls=None):
+        self.reward_sum = reward_sum
+        self.diverged = diverged
+        self.obs = obs
+        self.rewards = rewards
+        self.dones = dones
+        self.ctrls = ctrls
+
+
 class FastRollout:
     """K environment steps per device call, entirely inside one Pallas
-    kernel (physics + reward + termination + masked auto-reset), with a
-    uniform-random policy sampled on device.
+    kernel (physics + observation + policy + reward + termination + masked
+    auto-reset).
+
+    Actions come from either a uniform-random stream sampled on device
+    (default) or an in-kernel tanh-MLP policy (``policy=MLPPolicy(...)``)
+    whose parameters are runtime inputs — update them between calls without
+    recompiling.  With ``collect=True`` each call also returns the full
+    per-step (obs, action, reward, done) trajectory.
 
     Usage::
 
-        roll = FastRollout(benv, steps_per_call=100)
-        state = roll.init(jax.random.PRNGKey(0))
-        state, reward_sum, diverged = roll.run(state, jax.random.PRNGKey(1))
-
-    ``reward_sum`` is the per-env sum of rewards over the K steps
-    (auto-reset lanes keep accumulating, as a throughput consumer would).
+        roll = FastRollout(benv, steps_per_call=100,
+                           policy=MLPPolicy((64, 64)), collect=True)
+        params = roll.init_params(jax.random.PRNGKey(0))
+        state = roll.init(jax.random.PRNGKey(1))
+        state, traj = roll.run(state, jax.random.PRNGKey(2), params)
+        # traj.obs (K, n_obs, B), traj.ctrls (K, nu, B), traj.rewards,
+        # traj.dones, traj.reward_sum, traj.diverged
 
     Multi-chip: pass ``mesh`` (1-D env mesh, parallel.mesh.make_env_mesh)
     and the kernel runs under ``shard_map`` with the env axis of the
-    coordinate-major state sharded across devices — per-device tiles are
-    already independent, so the rollout is embarrassingly SPMD and the
-    only collective is whatever the consumer does with the rewards.
+    coordinate-major state sharded across devices and the policy params
+    replicated — per-device tiles are independent, so the rollout is
+    embarrassingly SPMD and the only collective is whatever the consumer
+    does with the trajectories.
     """
 
     def __init__(self, benv: BatchedEnvironment, steps_per_call: int,
-                 tile: int = 1024, interpret: bool = False, mesh=None):
+                 tile: int = 1024, interpret: bool = False, mesh=None,
+                 policy=None, collect: bool = False):
         from ..ops import megakernel as mk
 
         if not fast_rollout_supported(benv):
             raise ValueError(
-                "model/task not kernel-eligible (needs the scalar-graph "
-                "model class: Newton+Euler/RK4, plane contacts, scalar-"
-                "joint actuators — see ops.scalar_graph.supports — "
-                "and task.kernel_hooks); use jit_rollout for the general path"
+                "model/task not kernel-eligible (see the exact class spec "
+                "in ops.scalar_graph.supports, and task.kernel_hooks); "
+                "use jit_rollout for the general path"
             )
         model = benv.model
         self.benv = benv
         self.steps_per_call = steps_per_call
         self.mesh = mesh
+        self.policy = policy
+        self.collect = collect
         self._nq, self._nv, self._nu = model.nq, model.nv, model.nu
         b = benv.num_envs
         hooks = benv.task.kernel_hooks(model)
+        if (policy is not None or collect) and hooks.observe is None:
+            raise ValueError(
+                "task.kernel_hooks does not define observe; in-kernel "
+                "policy/trajectory collection needs the observation hook"
+            )
+        self.n_obs = hooks.n_obs
         n_shards = 1 if mesh is None else mesh.size
         assert b % n_shards == 0, (b, n_shards)
         b_local = b // n_shards
         tile = min(tile, b_local)
         kernel = mk.build_rollout(
             model, b_local, steps_per_call, tile=tile, hooks=hooks,
-            interpret=interpret,
+            interpret=interpret, emit_obs=collect, policy=policy,
         )
+        n_state = 7
+        n_traj = (3 + (1 if policy is not None else 0)) if collect else 0
+        self._n_out = n_state + n_traj
 
-        def bundle(qpos, qvel, act, ws, time, rng):
+        def bundle(qpos, qvel, act, ws, time, rng, params):
             if mesh is not None:
                 # per-device RNG stream: fold in the env-axis position
                 rng = jax.random.fold_in(
                     rng, jax.lax.axis_index(mesh.axis_names[0])
                 )
             k_ctrl, k_seed = jax.random.split(rng)
-            ctrl = jax.random.uniform(
-                k_ctrl, (steps_per_call, max(model.nu, 1), b_local),
-                minval=-1.0, maxval=1.0, dtype=qpos.dtype,
-            )
             seed = jax.random.randint(
                 k_seed, (1,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
             )
-            return kernel(qpos, qvel, act, ws, time, ctrl, seed)
+            if policy is None:
+                ctrl = jax.random.uniform(
+                    k_ctrl, (steps_per_call, max(model.nu, 1), b_local),
+                    minval=-1.0, maxval=1.0, dtype=qpos.dtype,
+                )
+                return kernel(qpos, qvel, act, ws, time, ctrl, seed)
+            flat = [leaf.astype(qpos.dtype) for wb in params for leaf in wb]
+            return kernel(qpos, qvel, act, ws, time, seed, *flat)
 
         if mesh is None:
             self._bundle = jax.jit(bundle, donate_argnums=(0, 1, 2, 3, 4))
@@ -151,13 +198,29 @@ class FastRollout:
 
             axis = mesh.axis_names[0]
             col = P(None, axis)  # coordinate-major: env axis is axis 1
+            # trajectories: env axis is last
+            traj3 = P(None, None, axis)
+            traj2 = P(None, axis)
+            out = [col] * 7
+            if collect:
+                out += [traj3, traj2, traj2]
+                if policy is not None:
+                    out.append(traj3)
+            # params are replicated: P() is a pytree-prefix spec covering
+            # every (W, b) leaf
             sharded = jax.shard_map(
                 bundle, mesh=mesh,
-                in_specs=(col, col, col, col, col, P()),
-                out_specs=(col,) * 7,
+                in_specs=(col, col, col, col, col, P(), P()),
+                out_specs=tuple(out),
                 check_vma=False,
             )
             self._bundle = jax.jit(sharded, donate_argnums=(0, 1, 2, 3, 4))
+
+    def init_params(self, rng: jax.Array, dtype=None):
+        """Xavier-init policy parameters (list of (W, b) pairs)."""
+        assert self.policy is not None
+        dtype = dtype or jnp.float32
+        return self.policy.init_params(rng, self.n_obs, self._nu, dtype)
 
     def init(self, rng: jax.Array):
         """Batched reset -> coordinate-major kernel state (sharded over the
@@ -186,12 +249,17 @@ class FastRollout:
             data.time[None, :],
         )
 
-    def run(self, state, rng: jax.Array):
+    def run(self, state, rng: jax.Array, params=None):
         """One K-step kernel call.
 
-        Returns ``(new_state, reward_sum (B,), diverged_count (B,))`` —
-        the divergence counter is the kernel's observability surface
-        (SURVEY.md 5.5): how many divergence-triggered auto-resets each
-        env lane took during the K steps."""
-        qpos, qvel, act, ws, time, rew, div = self._bundle(*state, rng)
-        return (qpos, qvel, act, ws, time), rew[0], div[0]
+        Returns ``(new_state, Trajectory)``.  ``params`` (from
+        :meth:`init_params`) is required when the rollout carries an
+        in-kernel policy, ignored otherwise."""
+        out = self._bundle(*state, rng, params)
+        qpos, qvel, act, ws, time, rew, div = out[:7]
+        traj = Trajectory(reward_sum=rew[0], diverged=div[0])
+        if self.collect:
+            traj.obs, traj.rewards, traj.dones = out[7:10]
+            if self.policy is not None:
+                traj.ctrls = out[10]
+        return (qpos, qvel, act, ws, time), traj

@@ -80,6 +80,10 @@ class _Cartpole:
             small_velocity = (1.0 + rewards.tolerance(v[1], margin=5.0)) / 2.0
             return upright * small_control * small_velocity * centered
 
+        def observe(q, v):
+            # == self.observe: [x, cos(theta), sin(theta), qvel...]
+            return [q[slider], jnp.cos(q[hinge]), jnp.sin(q[hinge])] + list(v)
+
         # exact init_episode distribution (reset-parity with the API env):
         # swingup: x ~ N(0, 0.01^2), theta ~ pi + N(0, 0.01^2);
         # balance: x ~ U(-0.1, 0.1), theta ~ U(-0.034, 0.034);
@@ -102,6 +106,8 @@ class _Cartpole:
             reset_qpos0=qpos0,
             reset_qpos_sigma=sigma,
             reset_qvel_sigma=0.01,
+            observe=observe,
+            n_obs=3 + model.nv,
         )
 
 

@@ -61,11 +61,17 @@ class Run:
             # value_at_margin=0, sigmoid=linear) == clip(speed/RUN_SPEED, 0, 1)
             return jnp.clip(v[0] / _RUN_SPEED, 0.0, 1.0)
 
+        def observe(q, v):
+            # == self.observe: concat(qpos[1:], qvel)
+            return list(q[1:]) + list(v)
+
         return EnvHooks(
             reward=reward,
             time_limit=self.time_limit,
             reset_noise=0.1,
             reset_mask=mask,
+            observe=observe,
+            n_obs=(model.nq - 1) + model.nv,
         )
 
 

@@ -120,6 +120,10 @@ class _Humanoid:
             move = (5.0 * move + 1.0) / 6.0
             return small_control * stand_reward * move
 
+        def observe(q, v):
+            # == self.observe: concat(qpos[2:], qvel)
+            return list(q[2:]) + list(v)
+
         sigma = np.full(model.nq, 0.01)
         sigma[3:7] = 0.0  # keep the root quaternion exactly at identity
         return EnvHooks(
@@ -127,6 +131,8 @@ class _Humanoid:
             time_limit=self.time_limit,
             reset_qpos_sigma=sigma,
             reset_qvel_sigma=0.01,
+            observe=observe,
+            n_obs=(model.nq - 2) + model.nv,
         )
 
 

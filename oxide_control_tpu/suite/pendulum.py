@@ -52,6 +52,10 @@ class SwingUp:
                 jnp.cos(q[qadr]), bounds=(0.95, 1.0), margin=1.95
             )
 
+        def observe(q, v):
+            # == self.observe: [cos(theta), sin(theta), qvel[0]]
+            return [jnp.cos(q[qadr]), jnp.sin(q[qadr]), v[0]]
+
         mask = np.zeros(model.nq)
         mask[qadr] = np.pi
         return EnvHooks(
@@ -59,6 +63,8 @@ class SwingUp:
             time_limit=self.time_limit,
             reset_noise=1.0,
             reset_mask=mask,
+            observe=observe,
+            n_obs=3,
         )
 
 

@@ -93,6 +93,10 @@ class _Walker:
             )
             return stand * (5.0 * move + 1.0) / 6.0
 
+        def observe(q, v):
+            # == self.observe: concat([1.3 + rootz], qpos[2:], qvel)
+            return [1.3 + q[0]] + list(q[2:]) + list(v)
+
         mask = np.zeros(model.nq)
         qpos0 = np.asarray(jax.device_get(model.qpos0)).copy()
         for j in range(model.njnt):
@@ -110,6 +114,8 @@ class _Walker:
             reset_mask=mask,
             reset_qpos0=qpos0,
             reset_qvel_sigma=0.01,
+            observe=observe,
+            n_obs=1 + (model.nq - 2) + model.nv,
         )
 
 

@@ -173,14 +173,14 @@ def measure_fast(domain, task, n_devices, batch, steps_per_call):
     rng = jax.random.PRNGKey(0)
     state = roll.init(rng)
     rng, sub = jax.random.split(rng)
-    state, rew, _div = roll.run(state, sub)
-    np.asarray(rew)
+    state, traj = roll.run(state, sub)
+    np.asarray(traj.reward_sum)
 
     t0 = time.perf_counter()
     for _ in range(TIMED_CALLS):
         rng, sub = jax.random.split(rng)
-        state, rew, _div = roll.run(state, sub)
-    np.asarray(rew)
+        state, traj = roll.run(state, sub)
+    np.asarray(traj.reward_sum)
     wall = time.perf_counter() - t0
     return batch * steps_per_call * TIMED_CALLS / wall
 

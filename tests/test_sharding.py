@@ -208,7 +208,8 @@ def test_fast_rollout_mesh_api():
     roll = FastRollout(benv, steps_per_call=5, tile=2, interpret=True,
                        mesh=mesh)
     state = roll.init(jax.random.PRNGKey(0))
-    state, rew, div = roll.run(state, jax.random.PRNGKey(1))
+    state, traj = roll.run(state, jax.random.PRNGKey(1))
+    rew, div = traj.reward_sum, traj.diverged
     assert np.all(np.isfinite(np.asarray(rew)))
     assert rew.shape == (16,)
     assert np.all(np.asarray(div) == 0)
