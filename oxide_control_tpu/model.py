@@ -66,6 +66,7 @@ class TrnType(enum.IntEnum):
     JOINT = 0
     TENDON = 3
     SITE = 4
+    BODY = 5
 
 
 class GainType(enum.IntEnum):
@@ -92,6 +93,7 @@ class EqType(enum.IntEnum):
     CONNECT = 0
     WELD = 1
     JOINT = 2
+    TENDON = 3
 
 
 class SensorType(enum.IntEnum):
@@ -107,12 +109,14 @@ class SensorType(enum.IntEnum):
     RANGEFINDER = 7
     JOINTPOS = 9
     JOINTVEL = 10
+    CAMPROJECTION = 8
     TENDONPOS = 11
     TENDONVEL = 12
     ACTUATORPOS = 13
     ACTUATORVEL = 14
     ACTUATORFRC = 15
     JOINTACTFRC = 16
+    TENDONACTFRC = 17
     BALLQUAT = 18
     BALLANGVEL = 19
     JOINTLIMITPOS = 20
@@ -133,9 +137,14 @@ class SensorType(enum.IntEnum):
     SUBTREECOM = 35
     SUBTREELINVEL = 36
     SUBTREEANGMOM = 37
+    INSIDESITE = 38
+    GEOMDIST = 39
+    GEOMNORMAL = 40
+    GEOMFROMTO = 41
     E_POTENTIAL = 43
     E_KINETIC = 44
     CLOCK = 45
+    USER = 48
 
 
 class ObjType(enum.IntEnum):
@@ -383,6 +392,15 @@ class Model:
     # consecutive sites of the same branch, contributing length/divisor
     # (MuJoCo <pulley divisor="N"/> semantics)
     tendon_site_div: tuple = static_field(default=())
+    # generalized spatial path per tendon: tuple of entries
+    # (kind, objid, sideid, branch, div) with kind 0=site (objid=site id)
+    # or 1=wrap geom (objid=geom id, sideid=sidesite id or -1).  The
+    # site-only arrays above remain for older consumers; the path is the
+    # source of truth for length/moment (smooth.tendon_length_moment).
+    tendon_path: tuple = static_field(default=())
+    tendon_length0: Any = None     # (ntendon,) length at qpos0
+    # refsite id per actuator (-1 = none; site transmission only)
+    actuator_refid: tuple = static_field(default=())
 
     # ----- keyframes (<keyframe><key .../>; mj_resetDataKeyframe analog) -
     nkey: int = static_field(default=0)

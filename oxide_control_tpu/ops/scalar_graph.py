@@ -1187,7 +1187,7 @@ def _eq_cw_rows_sg(model, mc, fk, bd_mask):
     out = {}
     for e in range(model.neq):
         et = EqType(model.eq_type[e])
-        if et == EqType.JOINT:
+        if et in (EqType.JOINT, EqType.TENDON):
             continue
         b1 = model.eq_obj1id[e]
         b2 = max(model.eq_obj2id[e], 0)
@@ -1373,6 +1373,55 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                     pos = sub(sub(qpos[a1], float(mc.qpos0[a1])), poly[0])
                     J = {v1: 1.0}
                     dap = float(mc.dof_invweight0[v1])
+                k, b, imp = _kbi_const(model, solref, solimp, pos, h)
+                vel = _jdotv(J, qvel)
+                aref = -b * vel - k * imp * pos
+                dcoef = imp / (1.0 - imp) / max(dap, 1e-12)
+                rows.append(dict(
+                    J=J, pos=pos, aref=aref, D=dcoef, exists=True,
+                    kind="eq",
+                ))
+            elif et == EqType.TENDON:
+                # fixed-tendon length coupling (constraint.py mjEQ_TENDON
+                # branch in scalar form; spatial tendons are outside the
+                # kernel class)
+                t1, t2 = model.eq_obj1id[e], model.eq_obj2id[e]
+                tlen, _tv = _tendon_len_vel(model, mc, qpos, qvel)
+                len0_all = np.asarray(
+                    jax.device_get(model.tendon_length0), dtype=np.float64
+                )
+                poly = [float(x) for x in mc.eq_data[e][:5]]
+                iw_t = np.asarray(
+                    jax.device_get(model.tendon_invweight0),
+                    dtype=np.float64,
+                )
+
+                def ten_row(t):
+                    J = {}
+                    adr, num = model.tendon_adr[t], model.tendon_num[t]
+                    for w in range(adr, adr + num):
+                        vadr = model.jnt_dofadr[model.tendon_wrap_jnt[w]]
+                        J[vadr] = add(
+                            J.get(vadr, 0.0), float(mc.tendon_wrap_coef[w])
+                        )
+                    return J
+
+                if t2 >= 0:
+                    dif = sub(tlen[t2], float(len0_all[t2]))
+                    pval = poly[4]
+                    dval = 0.0
+                    for c_ in (poly[3], poly[2], poly[1], poly[0]):
+                        dval = fma(pval, dval, dif)
+                        pval = fma(c_, pval, dif)
+                    pos = sub(sub(tlen[t1], float(len0_all[t1])), pval)
+                    J = dict(ten_row(t1))
+                    for dof, v2 in ten_row(t2).items():
+                        J[dof] = sub(J.get(dof, 0.0), mul(dval, v2))
+                    dap = float(iw_t[t1] + iw_t[t2])
+                else:
+                    pos = sub(sub(tlen[t1], float(len0_all[t1])), poly[0])
+                    J = ten_row(t1)
+                    dap = float(iw_t[t1])
                 k, b, imp = _kbi_const(model, solref, solimp, pos, h)
                 vel = _jdotv(J, qvel)
                 aref = -b * vel - k * imp * pos

@@ -962,3 +962,39 @@ def contact_condims(model: Model) -> list[int]:
             out.extend([model.pair_condim[idx]] * k)
             idx += 1
     return out
+
+
+def geom_distance(model: Model, d: Data, g1: int, g2: int):
+    """(dist, p1, p2): smallest signed distance between two geoms plus the
+    witness points on each surface (mj_geomDistance analog, serving the
+    geomdist/geomnormal/geomfromto sensors).  Uses the bespoke narrowphase
+    for supported type pairs and the MPR routine for other convex-convex
+    pairs; multi-lane narrowphases report their minimum-distance lane."""
+    t1 = GeomType(model.geom_type[g1])
+    t2 = GeomType(model.geom_type[g2])
+    flip = False
+    if (t1, t2) not in _PRIMS and (t2, t1) in _PRIMS:
+        g1, g2 = g2, g1
+        t1, t2 = t2, t1
+        flip = True
+    if (t1, t2) in _PRIMS:
+        fn = _PRIMS[(t1, t2)]
+        dist, pos, frame = fn(
+            d.geom_xpos[g1], d.geom_xmat[g1], model.geom_size[g1],
+            d.geom_xpos[g2], d.geom_xmat[g2], model.geom_size[g2],
+        )
+    elif t1 in _CONVEX_TYPES and t2 in _CONVEX_TYPES:
+        dist, pos, frame = _mpr_pair(model, d, g1, g2)
+    else:
+        raise NotImplementedError(
+            f"geom distance for pair {t1.name}-{t2.name}"
+        )
+    k = jnp.argmin(dist)
+    dmin = dist[k]
+    p = pos[k]
+    n = frame[k, 0]
+    p1 = p - 0.5 * dmin * n
+    p2 = p + 0.5 * dmin * n
+    if flip:
+        p1, p2 = p2, p1
+    return dmin, p1, p2

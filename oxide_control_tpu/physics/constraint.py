@@ -325,7 +325,7 @@ def _eq_cw_rows(model: Model, dd: Data):
     out = {}
     for e in range(model.neq):
         et = EqType(model.eq_type[e])
-        if et == EqType.JOINT:
+        if et in (EqType.JOINT, EqType.TENDON):
             continue
         b1 = model.eq_obj1id[e]
         b2 = max(model.eq_obj2id[e], 0)
@@ -425,6 +425,7 @@ def make_efc(model: Model, d: Data):
         qdot = _qpos_tangent(model, d.qpos, d.qvel)
         cw_vel, cw_jdotv = jax.jvp(cw_vels, (d.qpos,), (qdot,))
     ri = 0
+    ten_lm = None
     for e in range(model.neq):
         et = EqType(model.eq_type[e])
         solref, solimp = model.eq_solref[e], model.eq_solimp[e]
@@ -448,6 +449,34 @@ def make_efc(model: Model, d: Data):
                 pos = (d.qpos[a1] - model.qpos0[a1]) - poly[0]
                 J = jnp.zeros(nv, dtype=dtype).at[v1].set(1.0)
                 dap = iw_dof[v1]
+            rows.add(model, J, pos, solref, solimp, dap, active, False,
+                     vel=jnp.dot(J, d.qvel))
+        elif et == EqType.TENDON:
+            # tendon length coupling: pos = (L1 - L1_0) - poly(L2 - L2_0),
+            # J = ten_J1 - dpoly * ten_J2 (mj_instantiateEquality
+            # mjEQ_TENDON); works for fixed AND spatial (wrapped) tendons
+            # through the unified length/moment
+            t1, t2 = model.eq_obj1id[e], model.eq_obj2id[e]
+            if ten_lm is None:
+                ten_lm = smooth.tendon_length_moment(model, d)
+            tlen, tmom = ten_lm
+            len0_all = model.tendon_length0
+            poly = model.eq_data[e][:5]
+            if t2 >= 0:
+                dif = tlen[t2] - len0_all[t2]
+                powers = jnp.stack([dif**i for i in range(5)])
+                pos = (tlen[t1] - len0_all[t1]) - jnp.dot(poly, powers)
+                dpoly = jnp.dot(
+                    poly[1:],
+                    jnp.stack([(i + 1.0) * dif**i for i in range(4)]),
+                )
+                J = tmom[t1] - dpoly * tmom[t2]
+                dap = (model.tendon_invweight0[t1]
+                       + model.tendon_invweight0[t2])
+            else:
+                pos = (tlen[t1] - len0_all[t1]) - poly[0]
+                J = tmom[t1]
+                dap = model.tendon_invweight0[t1]
             rows.add(model, J, pos, solref, solimp, dap, active, False,
                      vel=jnp.dot(J, d.qvel))
         else:  # CONNECT / WELD rows prebuilt above
@@ -476,9 +505,9 @@ def make_efc(model: Model, d: Data):
 
     # ----- tendon friction loss (mjCNSTR_FRICTION_TENDON) -----
     fr_tens = _friction_tendons(model)
-    ten_lm = None
     if fr_tens:
-        ten_lm = smooth.tendon_length_moment(model, d)
+        if ten_lm is None:
+            ten_lm = smooth.tendon_length_moment(model, d)
         idx = np.array(fr_tens)
         J = ten_lm[1][idx]
         zero = jnp.zeros((len(fr_tens),), dtype=dtype)

@@ -31,6 +31,8 @@ _POS = (
     SensorType.FRAMEXAXIS, SensorType.FRAMEYAXIS, SensorType.FRAMEZAXIS,
     SensorType.SUBTREECOM, SensorType.MAGNETOMETER, SensorType.CLOCK,
     SensorType.RANGEFINDER, SensorType.E_POTENTIAL,
+    SensorType.GEOMDIST, SensorType.GEOMNORMAL, SensorType.GEOMFROMTO,
+    SensorType.INSIDESITE,
 )
 _VEL = (
     SensorType.VELOCIMETER, SensorType.GYRO, SensorType.JOINTVEL,
@@ -42,6 +44,7 @@ _VEL = (
 _ACC = (
     SensorType.TOUCH, SensorType.ACCELEROMETER, SensorType.FORCE,
     SensorType.TORQUE, SensorType.ACTUATORFRC, SensorType.JOINTACTFRC,
+    SensorType.TENDONACTFRC,
     SensorType.FRAMELINACC, SensorType.FRAMEANGACC,
     # limit sensors read the post-solve Data.efc_limit snapshot, so all six
     # evaluate in the acc stage here (MuJoCo stages pos/vel variants
@@ -67,6 +70,10 @@ _LIMIT_SENSORS = (
 _NO_CUTOFF = (
     SensorType.BALLQUAT, SensorType.FRAMEQUAT,
     SensorType.FRAMEXAXIS, SensorType.FRAMEYAXIS, SensorType.FRAMEZAXIS,
+    # the geom-distance family folds its cutoff into the value itself
+    # (min(dist, cutoff); zeros beyond), and insidesite is a boolean
+    SensorType.GEOMDIST, SensorType.GEOMNORMAL, SensorType.GEOMFROMTO,
+    SensorType.INSIDESITE,
 )
 
 
@@ -407,6 +414,15 @@ def sensor_pos(model: Model, d: Data) -> Data:
             val = _rangefinder(model, d, oid)[None]
         elif st == SensorType.E_POTENTIAL:
             val = _energy_pos(model, d)[None]
+        elif st in (SensorType.GEOMDIST, SensorType.GEOMNORMAL,
+                    SensorType.GEOMFROMTO):
+            val = _geom_distance_family(model, d, i, st, dtype)
+        elif st == SensorType.INSIDESITE:
+            val = _inside_site(model, d, i, dtype)[None]
+        elif st == SensorType.USER:
+            # no mjcb_sensor analog: user sensors stay zero (matches
+            # MuJoCo without a callback)
+            val = jnp.zeros((model.sensor_dim[i],), dtype=dtype)
         else:  # CLOCK
             val = d.time[None].astype(dtype)
         sd = jax.lax.dynamic_update_slice(
@@ -528,6 +544,19 @@ def sensor_acc(model: Model, d: Data) -> Data:
             val = d.actuator_force[oid][None]
         elif st == SensorType.JOINTACTFRC:
             val = d.qfrc_actuator[model.jnt_dofadr[oid]][None]
+        elif st == SensorType.TENDONACTFRC:
+            # total actuator force acting on the tendon: sum of raw
+            # scalar actuator forces of tendon-transmission actuators —
+            # NOT gear-scaled (mjSENS_TENDONACTFRC, verified: gear=1.5
+            # model reports actuator_force unscaled)
+            from ..model import TrnType as _TRN
+
+            acc = jnp.zeros((), dtype=dtype)
+            for u in range(model.nu):
+                if (_TRN(model.actuator_trntype[u]) == _TRN.TENDON
+                        and model.actuator_trnid[u] == oid):
+                    acc = acc + d.actuator_force[u]
+            val = acc[None]
         elif st == SensorType.ACCELEROMETER:
             b = model.site_bodyid[oid]
             _, a = _point_acc(model, d, cacc, b, d.site_xpos[oid])
@@ -681,3 +710,74 @@ def _touch_forces(model: Model, d: Data) -> jax.Array:
                 else:
                     out = out.at[sid].add(fn)
     return out
+
+
+def _sensor_geoms(model: Model, objtype, objid):
+    """Geom ids of a geom-distance sensor object (a single geom or all of
+    a body's geoms)."""
+    if objtype == ObjType.GEOM:
+        return [objid]
+    adr, num = model.body_geomadr[objid], model.body_geomnum[objid]
+    return list(range(adr, adr + num))
+
+
+def _geom_distance_family(model: Model, d: Data, i: int, st, dtype):
+    """geomdist / geomnormal / geomfromto (mj_geomDistance semantics,
+    verified against MuJoCo 3.10): dist = min over geom pairs, clamped to
+    cutoff from above; normal = normalize(p2 - p1) (sign of dist built
+    in); fromto = witness points; normal/fromto are zero when no pair
+    comes under the cutoff."""
+    from . import collision as _coll
+
+    g1s = _sensor_geoms(model, model.sensor_objtype[i],
+                        model.sensor_objid[i])
+    g2s = _sensor_geoms(model, model.sensor_reftype[i],
+                        model.sensor_refid[i])
+    cutoff = model.sensor_cutoff[i].astype(dtype)
+    best = cutoff
+    bp1 = jnp.zeros(3, dtype=dtype)
+    bp2 = jnp.zeros(3, dtype=dtype)
+    for ga in g1s:
+        for gb in g2s:
+            dist, p1, p2 = _coll.geom_distance(model, d, ga, gb)
+            better = dist < best
+            best = jnp.where(better, dist.astype(dtype), best)
+            bp1 = jnp.where(better, p1.astype(dtype), bp1)
+            bp2 = jnp.where(better, p2.astype(dtype), bp2)
+    found = best < cutoff
+    if st == SensorType.GEOMDIST:
+        return jnp.minimum(best, cutoff)[None]
+    if st == SensorType.GEOMNORMAL:
+        delta = bp2 - bp1
+        nrm = jnp.linalg.norm(delta)
+        n = jnp.where(nrm > 1e-15, delta / jnp.maximum(nrm, 1e-15), 0.0)
+        return jnp.where(found, n, 0.0)
+    return jnp.where(found, jnp.concatenate([bp1, bp2]), 0.0)
+
+
+def _inside_site(model: Model, d: Data, i: int, dtype):
+    """insidesite: 1.0 when the object's position is inside the site's
+    volume (sphere/capsule/ellipsoid/cylinder/box site types)."""
+    from ..model import GeomType as _GT
+
+    sid = model.sensor_refid[i]
+    pos, _, _ = _obj_pose(model, d, model.sensor_objtype[i],
+                          model.sensor_objid[i])
+    local = d.site_xmat[sid].T @ (pos - d.site_xpos[sid])
+    stype = _GT(model.site_type[sid])
+    size = jnp.asarray(model.site_size[sid], dtype=dtype)
+    if stype == _GT.SPHERE:
+        inside = jnp.linalg.norm(local) <= size[0]
+    elif stype == _GT.CAPSULE:
+        z = jnp.clip(local[2], -size[1], size[1])
+        inside = jnp.linalg.norm(local - jnp.array([0.0, 0, 1],
+                                                   dtype=dtype) * z) <= size[0]
+    elif stype == _GT.ELLIPSOID:
+        inside = jnp.sum((local / size) ** 2) <= 1.0
+    elif stype == _GT.CYLINDER:
+        inside = (jnp.abs(local[2]) <= size[1]) & (
+            jnp.linalg.norm(local[:2]) <= size[0]
+        )
+    else:  # BOX
+        inside = jnp.all(jnp.abs(local) <= size)
+    return inside.astype(dtype)

