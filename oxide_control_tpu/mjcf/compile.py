@@ -225,6 +225,7 @@ class _Compiler:
         self.equalities: list[dict] = []
         self.tendons: list[dict] = []
         self.sensors: list[dict] = []
+        self.cameras: list[dict] = []
         self.meshes: list[dict] = []
         self.hfields: list[dict] = []
         self.excludes: list[tuple[str, str]] = []
@@ -352,7 +353,12 @@ class _Compiler:
                 if "elevation" in attrs:
                     nrow = int(attrs["nrow"])
                     ncol = int(attrs["ncol"])
-                    data = _floats(attrs["elevation"]).reshape(nrow, ncol)
+                    # MuJoCo stores inline elevation with the FIRST line at
+                    # MAXIMUM local y (verified vs mjModel.hfield_data +
+                    # surface probes): reverse rows so storage row 0 is
+                    # y = -sy, matching the PNG path below
+                    data = _floats(attrs["elevation"]).reshape(
+                        nrow, ncol)[::-1, :]
                 elif "file" in attrs:
                     # file-based hfields (VERDICT r3 missing #6): PNG
                     # (grayscale, top row = max Y like MuJoCo) or MuJoCo's
@@ -407,7 +413,13 @@ class _Compiler:
                 path = attrs["file"]
                 if self.base_dir is not None:
                     path = os.path.join(self.base_dir, path)
-                verts = _load_stl_vertices(path)
+                ext = os.path.splitext(path)[1].lower()
+                if ext == ".obj":
+                    verts = _load_obj_vertices(path)
+                elif ext == ".msh":
+                    verts = _load_msh_vertices(path)
+                else:
+                    verts = _load_stl_vertices(path)
                 default_name = os.path.splitext(
                     os.path.basename(attrs["file"]))[0]
             else:
@@ -539,7 +551,9 @@ class _Compiler:
                 self._set_inertial(child, body_id)
             elif child.tag == "body":
                 self._add_body(child, body_id, cls)
-            elif child.tag in ("camera", "light"):
+            elif child.tag == "camera":
+                self._add_camera(child, body_id, cls)
+            elif child.tag == "light":
                 pass
             else:
                 raise UnsupportedFeatureError(
@@ -691,6 +705,29 @@ class _Compiler:
             )
         )
         self.bodies[body_id]["site_ids"].append(sid)
+
+    def _add_camera(self, elem: ET.Element, body_id: int, cls: str):
+        attrs = dict(elem.attrib)
+        mode = attrs.get("mode", "fixed")
+        if mode != "fixed":
+            raise UnsupportedFeatureError(
+                f"camera mode {mode!r} not supported (fixed only)"
+            )
+        if "focal" in attrs or "focalpixel" in attrs or \
+                "sensorsize" in attrs:
+            raise UnsupportedFeatureError(
+                "explicit camera intrinsics (focal/sensorsize) not "
+                "supported; use fovy + resolution"
+            )
+        self.cameras.append(dict(
+            name=attrs.get("name", f"camera{len(self.cameras)}"),
+            body=body_id,
+            pos=_attr_floats(attrs, "pos", [0, 0, 0], 3),
+            quat=self._orientation(attrs),
+            fovy=_attr_float(attrs, "fovy", 45.0),
+            resolution=tuple(int(x) for x in
+                             _attr_floats(attrs, "resolution", [1, 1], 2)),
+        ))
 
     def _set_inertial(self, elem: ET.Element, body_id: int):
         attrs = dict(elem.attrib)
@@ -1016,6 +1053,7 @@ class _Compiler:
         "insidesite": (SensorType.INSIDESITE, 1, "insidesite"),
         "tendonactuatorfrc": (SensorType.TENDONACTFRC, 1, "tendon"),
         "user": (SensorType.USER, 0, "user"),
+        "camprojection": (SensorType.CAMPROJECTION, 2, "camproj"),
     }
 
     _FRAME_OBJTYPES = {
@@ -1089,6 +1127,15 @@ class _Compiler:
                 refname = attrs.get("site", "")
                 if not refname:
                     raise ModelError("<insidesite> requires a site attribute")
+            elif kind == "camproj":
+                objtype = ObjType.SITE
+                objname = attrs.get("site", "")
+                reftype = ObjType.CAMERA
+                refname = attrs.get("camera", "")
+                if not objname or not refname:
+                    raise ModelError(
+                        "<camprojection> requires site and camera attributes"
+                    )
             elif kind == "user":
                 # user sensors carry caller-defined values; without the
                 # mjcb_sensor callback MuJoCo leaves them zero — replicated
@@ -1172,6 +1219,37 @@ def _load_stl_vertices(path: str) -> np.ndarray:
     tris = rec[:, 12:48].copy().view("<f4").reshape(ntri, 3, 3)
     verts = np.unique(tris.reshape(-1, 3), axis=0).astype(np.float64)
     return verts
+
+
+def _load_obj_vertices(path: str) -> np.ndarray:
+    """Vertex positions of a Wavefront OBJ file ('v' records; faces,
+    normals and texcoords are irrelevant to the convex-hull physics)."""
+    verts = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if parts and parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+    if not verts:
+        raise ModelError(f"no vertices in OBJ file {path!r}")
+    return np.unique(np.asarray(verts, dtype=np.float64), axis=0)
+
+
+def _load_msh_vertices(path: str) -> np.ndarray:
+    """Vertex positions of MuJoCo's legacy binary .msh mesh format:
+    int32 header (nvertex, nnormal, ntexcoord, nface) followed by
+    float32 vertex data."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 16:
+        raise ModelError(f"not a MuJoCo .msh file: {path!r}")
+    nvert = int(np.frombuffer(data[:4], dtype="<i4")[0])
+    if nvert <= 0 or 16 + 12 * nvert > len(data):
+        raise ModelError(f"corrupt .msh header in {path!r}")
+    verts = np.frombuffer(
+        data[16 : 16 + 12 * nvert], dtype="<f4"
+    ).astype(np.float64).reshape(nvert, 3)
+    return np.unique(verts, axis=0)
 
 
 def _process_mesh(verts: np.ndarray):
@@ -1812,6 +1890,7 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         ObjType.JOINT: names.joint, ObjType.GEOM: names.geom,
         ObjType.SITE: names.site, ObjType.ACTUATOR: names.actuator,
         ObjType.TENDON: names.tendon,
+        ObjType.CAMERA: [cam["name"] for cam in c.cameras],
     }
 
     def _sensor_obj(stype, objtype, objname, what):
@@ -1859,10 +1938,14 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         if GeomType.HFIELD in ts and ts not in (
             (GeomType.HFIELD, GeomType.SPHERE),
             (GeomType.HFIELD, GeomType.CAPSULE),
+            (GeomType.HFIELD, GeomType.BOX),
+            (GeomType.HFIELD, GeomType.ELLIPSOID),
+            (GeomType.HFIELD, GeomType.CYLINDER),
         ):
             raise UnsupportedFeatureError(
-                f"hfield collision supported against spheres/capsules only, "
-                f"got pair {GeomType(ts[0]).name}-{GeomType(ts[1]).name}"
+                "hfield collision supported against sphere/capsule/box/"
+                "ellipsoid/cylinder geoms, got pair "
+                f"{GeomType(ts[0]).name}-{GeomType(ts[1]).name}"
             )
 
     # group by (type1, type2)
@@ -2031,6 +2114,14 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         geom_solimp=f(geom_solimp),
         geom_solmix=f(geom_solmix),
         geom_rbound=f(rbound),
+        ncam=len(c.cameras),
+        cam_bodyid=tuple(cam["body"] for cam in c.cameras),
+        cam_pos=f(np.array([cam["pos"] for cam in c.cameras]).reshape(
+            len(c.cameras), 3)),
+        cam_quat=f(np.array([cam["quat"] for cam in c.cameras]).reshape(
+            len(c.cameras), 4)),
+        cam_fovy=f(np.array([cam["fovy"] for cam in c.cameras])),
+        cam_resolution=tuple(cam["resolution"] for cam in c.cameras),
         site_pos=f(np.array([s["pos"] for s in c.sites]).reshape(nsite, 3)),
         site_quat=f(np.array([s["quat"] for s in c.sites]).reshape(nsite, 4)),
         site_size=f(np.array([s["size"] for s in c.sites]).reshape(nsite, 3)),
@@ -2240,6 +2331,7 @@ def _set_const(model: Model) -> Model:
             ].mean()
 
     mask = _smooth.body_dof_mask(model)
+    sub_mask_bi = _smooth.subtree_mask(model)
     body_invweight0 = np.zeros((nbody, 2))
     for b in range(1, nbody):
         origin = sub_com[model.body_rootid[b]]
@@ -2253,13 +2345,20 @@ def _set_const(model: Model) -> Model:
         a_t = jacp @ m_inv @ jacp.T
         a_r = jacr @ m_inv @ jacr.T
         # MuJoCo divisor quirk (verified against 3.10 body_invweight0 over
-        # slide/hinge/ball/free/mixed probes): trace/3 everywhere, EXCEPT
-        # bodies whose dofs are ALL exactly coordinate-axis-aligned slide
-        # joints — those divide by the number of distinct axes instead
-        # (a z-slide body gets 1/m, not 1/(3m); an x+z pair gets /2)
+        # slide/hinge/ball/free/mixed/coupled-tree probes): trace/3
+        # everywhere, EXCEPT bodies whose dofs are ALL exactly
+        # coordinate-axis-aligned slide joints AND whose subtree adds no
+        # further dofs — those divide by the number of distinct axes
+        # (a leaf z-slide body gets 1/m, not 1/(3m); an x+z pair gets /2;
+        # a cartpole cart with a pole below stays at /3)
         div_t = 3.0
         dofs = [i for i in range(nv) if mask[b, i]]
-        if dofs:
+        sub_bodies = [c for c in range(nbody) if sub_mask_bi[b, c]]
+        extra_dofs = any(
+            model.dof_bodyid[i] in sub_bodies and not mask[b, i]
+            for i in range(nv)
+        )
+        if dofs and not extra_dofs:
             axes = set()
             all_aligned = True
             for i in dofs:

@@ -156,6 +156,7 @@ class ObjType(enum.IntEnum):
     JOINT = 3
     GEOM = 5
     SITE = 6
+    CAMERA = 7
     TENDON = 18
     ACTUATOR = 19
 
@@ -399,6 +400,13 @@ class Model:
     # source of truth for length/moment (smooth.tendon_length_moment).
     tendon_path: tuple = static_field(default=())
     tendon_length0: Any = None     # (ntendon,) length at qpos0
+    # fixed cameras (mode='fixed' only; camprojection sensors)
+    ncam: int = static_field(default=0)
+    cam_bodyid: tuple = static_field(default=())
+    cam_pos: Any = None            # (ncam, 3)
+    cam_quat: Any = None           # (ncam, 4)
+    cam_fovy: Any = None           # (ncam,)
+    cam_resolution: tuple = static_field(default=())  # (ncam, 2) ints
     # refsite id per actuator (-1 = none; site transmission only)
     actuator_refid: tuple = static_field(default=())
 

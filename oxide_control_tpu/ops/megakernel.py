@@ -85,6 +85,11 @@ class EnvHooks:
     # observation on the pre-step state: (q, v) -> list of n_obs rows
     observe: Callable | None = None
     n_obs: int = 0
+    # when True, observe/reward receive a keyword argument ``fk`` — the
+    # scalar-graph FK of the observed state (scalar_graph.build_fk): body
+    # frames and site positions from the SAME expressions the step
+    # computes, so frame-based rewards need no hand-derived twins
+    needs_fk: bool = False
 
 
 def build_rollout(
@@ -149,6 +154,8 @@ def build_rollout(
     na_rows = max(na, 1)   # Pallas block shapes must be nonzero
     nu_rows = max(nu, 1)
     step = sg.build_step(model)
+    fk_fn = sg.build_fk(model) if (hooks is not None
+                                   and hooks.needs_fk) else None
     h = float(model.opt.timestep)
     k_steps = steps_per_call
     qpos0 = [float(x) for x in np.asarray(jax.device_get(model.qpos0))]
@@ -247,7 +254,11 @@ def build_rollout(
             # ---- observe (pre-step state: the policy input) ----
             if hooks is not None and hooks.observe is not None and (
                     emit_obs or policy is not None):
-                obs_rows = hooks.observe(list(q), list(v))
+                if fk_fn is not None:
+                    obs_rows = hooks.observe(list(q), list(v),
+                                             fk=fk_fn(list(q)))
+                else:
+                    obs_rows = hooks.observe(list(q), list(v))
                 assert len(obs_rows) == n_obs, (len(obs_rows), n_obs)
                 obs_mat = jnp.stack([mat_row(o) for o in obs_rows])
             else:
@@ -281,7 +292,11 @@ def build_rollout(
             n = n + 1
 
             if hooks is not None:
-                rew_t = mat_row(hooks.reward(list(q), list(v), list(c)))
+                if fk_fn is not None:
+                    rew_t = mat_row(hooks.reward(list(q), list(v), list(c),
+                                                 fk=fk_fn(list(q))))
+                else:
+                    rew_t = mat_row(hooks.reward(list(q), list(v), list(c)))
                 rew = rew + rew_t
             else:
                 rew_t = None

@@ -42,6 +42,13 @@ def max_contacts_per_pair(t1: int, t2: int) -> int:
         return 4
     if pair == (GeomType.HFIELD, GeomType.CAPSULE):
         return 3
+    if pair in ((GeomType.HFIELD, GeomType.BOX),
+                (GeomType.HFIELD, GeomType.ELLIPSOID),
+                (GeomType.HFIELD, GeomType.CYLINDER)):
+        return 18  # 3x3 cell window x 2 triangle prisms (MPR per prism)
+    if (pair[0] in _CONVEX_TYPES and pair[1] in _CONVEX_TYPES
+            and pair not in _PRIMS):
+        return 5  # MPR + 4 perturbed-support manifold lanes
     return 1
 
 
@@ -712,6 +719,71 @@ def _mpr(sup1, sup2, c1, c2, dtype, n_discover=8, n_refine=14):
     return dist, pos, n
 
 
+def _hfield_prism_mpr(model: Model, d, gh: int, gg: int, hsize, nrow,
+                      ncol, data):
+    """Convex geom vs height field through MuJoCo's prism decomposition:
+    the 3x3 cell window around the geom center splits into 18 triangle
+    prisms, each run through the MPR narrowphase against the geom (the
+    same per-prism convex collision MuJoCo's mjc_HFieldConvex performs,
+    with a static lane count instead of its dynamic contact list).
+    Returns (18,), (18, 3), (18, 3, 3)."""
+    dtype = d.qpos.dtype
+    hpos, hmat = d.geom_xpos[gh], d.geom_xmat[gh]
+    gpos, gmat = d.geom_xpos[gg], d.geom_xmat[gg]
+    gt = GeomType(model.geom_type[gg])
+    size = model.geom_size[gg]
+
+    sx, sy, sz = hsize[0], hsize[1], hsize[2]
+    zbot = -hsize[3]
+    dx = 2 * sx / (ncol - 1)
+    dy = 2 * sy / (nrow - 1)
+    pl = hmat.T @ (gpos - hpos)
+    fx = (pl[0] + sx) / (2 * sx) * (ncol - 1)
+    fy = (pl[1] + sy) / (2 * sy) * (nrow - 1)
+    i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32) - 1, 0,
+                  max(ncol - 4, 0))
+    j0 = jnp.clip(jnp.floor(fy).astype(jnp.int32) - 1, 0,
+                  max(nrow - 4, 0))
+
+    def geom_sup(dw):
+        dl = gmat.T @ dw
+        return gpos + gmat @ _support_local(gt, size, None, dl)
+
+    ds, ps, fs = [], [], []
+    for dj in range(3):
+        for di in range(3):
+            i = jnp.minimum(i0 + di, ncol - 2)
+            j = jnp.minimum(j0 + dj, nrow - 2)
+            x0 = -sx + i.astype(dtype) * dx
+            y0 = -sy + j.astype(dtype) * dy
+            z00 = data[j, i] * sz
+            z10 = data[j, i + 1] * sz
+            z01 = data[j + 1, i] * sz
+            z11 = data[j + 1, i + 1] * sz
+            tris = (
+                ((x0, y0, z00), (x0 + dx, y0, z10),
+                 (x0 + dx, y0 + dy, z11)),
+                ((x0, y0, z00), (x0 + dx, y0 + dy, z11),
+                 (x0, y0 + dy, z01)),
+            )
+            for tri in tris:
+                top = jnp.stack([jnp.stack(v) for v in tri])  # (3, 3)
+                bot = top.at[:, 2].set(zbot)
+                verts_l = jnp.concatenate([top, bot])          # (6, 3)
+                verts_w = (hmat @ verts_l.T).T + hpos
+
+                def prism_sup(dw, vw=verts_w):
+                    return vw[jnp.argmax(vw @ dw)]
+
+                center = jnp.mean(verts_w, axis=0)
+                dist, pos, n = _mpr(prism_sup, geom_sup, center, gpos,
+                                    dtype)
+                ds.append(dist)
+                ps.append(pos)
+                fs.append(make_frame(n))
+    return jnp.stack(ds), jnp.stack(ps), jnp.stack(fs)
+
+
 def _mpr_pair(model: Model, d, g1: int, g2: int):
     """(1,), (1, 3), (1, 3, 3) contact lane for one convex-convex pair."""
     dtype = d.qpos.dtype
@@ -732,11 +804,46 @@ def _mpr_pair(model: Model, d, g1: int, g2: int):
 
         return sup
 
+    sup1 = mk_sup(g1, t1)
+    sup2 = mk_sup(g2, t2)
     dist, pos, n = _mpr(
-        mk_sup(g1, t1), mk_sup(g2, t2), d.geom_xpos[g1], d.geom_xpos[g2],
-        dtype,
+        sup1, sup2, d.geom_xpos[g1], d.geom_xpos[g2], dtype,
     )
-    return dist[None], pos[None], make_frame(n)[None]
+
+    # manifold sampling (MuJoCo multiCCD analog, VERDICT r3 next #6):
+    # flat-face restings are under-constrained with one contact, so probe
+    # both support maps under normals tilted toward the SAME tangent
+    # direction t — on flat faces the supports jump to the faces' extreme
+    # points along t, and the overlap region extends to the SMALLER of the
+    # two tangential extents; on curved surfaces the supports barely move
+    # (extent ~ eps * radius), which the extent gate rejects, leaving the
+    # single-point contact a curved pairing should have.
+    frame = make_frame(n)
+    tan1, tan2 = frame[1], frame[2]
+    sizes = np.asarray(jax.device_get(model.geom_size))
+    scale_min = float(max(min(np.max(sizes[g1]), np.max(sizes[g2])), 1e-6))
+    eps = 0.05
+    min_extent = 2.0 * eps * scale_min  # > curved-support drift
+    ds = [dist]
+    ps = [pos]
+    fs = [frame]
+    for t in (tan1, -tan1, tan2, -tan2):
+        da = n + eps * t
+        da = da / jnp.linalg.norm(da)
+        db = eps * t - n
+        db = db / jnp.linalg.norm(db)
+        a = sup1(da)
+        b = sup2(db)
+        depth = jnp.dot(n, b - a)
+        ta = jnp.dot(t, a - pos)
+        tb = jnp.dot(t, b - pos)
+        ext = jnp.maximum(jnp.minimum(ta, tb), 0.0)
+        posk = pos + ext * t
+        flat = ext > min_extent
+        ds.append(jnp.where(flat, depth, 1e10))
+        ps.append(posk)
+        fs.append(frame)
+    return jnp.stack(ds), jnp.stack(ps), jnp.stack(fs)
 
 
 def _hfield_surface(hsize, nrow, ncol, data, pl):
@@ -769,22 +876,20 @@ def _hfield_surface(hsize, nrow, ncol, data, pl):
     z01 = data[j + 1, i] * sz
     z11 = data[j + 1, i + 1] * sz
 
-    lower = u + v <= 1.0
-    # lower triangle (00, 10, 01); upper triangle (11, 01, 10)
-    a = jnp.where(
-        lower,
-        jnp.stack([x0, y0, z00]),
-        jnp.stack([x0 + dx, y0 + dy, z11]),
-    )
+    lower = u >= v
+    # MuJoCo's prism triangulation splits each cell along the (00)->(11)
+    # diagonal (verified vs settled contacts): lower triangle
+    # (00, 10, 11) for u >= v, upper triangle (00, 11, 01) for u < v
+    a = jnp.stack([x0, y0, z00])
     b = jnp.where(
         lower,
         jnp.stack([x0 + dx, y0, z10]),
-        jnp.stack([x0, y0 + dy, z01]),
+        jnp.stack([x0 + dx, y0 + dy, z11]),
     )
     cc = jnp.where(
         lower,
+        jnp.stack([x0 + dx, y0 + dy, z11]),
         jnp.stack([x0, y0 + dy, z01]),
-        jnp.stack([x0 + dx, y0, z10]),
     )
     n = jnp.cross(b - a, cc - a)
     n = n * jnp.sign(n[2])  # upward
@@ -826,6 +931,87 @@ def _hfield_capsule(hpos, hmat, hsize, nrow, ncol, data, cpos, cmat, csize):
         out_p.append(pos)
         out_f.append(make_frame(n))
     return jnp.stack(out_d), jnp.stack(out_p), jnp.stack(out_f)
+
+
+def _hfield_point_at(hpos, hmat, hsize, nrow, ncol, data, point):
+    """(signed distance, world-up normal) of a world point vs the field."""
+    pl = hmat.T @ (point - hpos)
+    sd, nl = _hfield_surface(hsize, nrow, ncol, data, pl)
+    return sd, hmat @ nl
+
+
+def _hfield_box(hpos, hmat, hsize, nrow, ncol, data, bpos, bmat, bsize):
+    """Box vs height field: per-corner surface queries, deepest 4 corners
+    become the contact lanes (the terrain analog of _plane_box; each lane
+    uses its own local triangle normal, so ridged fields tilt the frames
+    correctly)."""
+    signs = jnp.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        dtype=bpos.dtype,
+    )
+    corners = bpos[None, :] + (signs * bsize[None, :]) @ bmat.T  # (8, 3)
+    ds, ps, ns = [], [], []
+    for k in range(8):
+        sd, n = _hfield_point_at(hpos, hmat, hsize, nrow, ncol, data,
+                                 corners[k])
+        ds.append(sd)
+        ps.append(corners[k] - n * (0.5 * sd))
+        ns.append(n)
+    dist8 = jnp.stack(ds)
+    neg_top, idx = jax.lax.top_k(-dist8, 4)
+    dist = -neg_top
+    pos = jnp.stack(ps)[idx]
+    frame = jnp.stack([make_frame(n) for n in ns])[idx]
+    return dist, pos, frame
+
+
+def _hfield_ellipsoid(hpos, hmat, hsize, nrow, ncol, data, epos, emat,
+                      esize):
+    """Ellipsoid vs height field: support point opposite the local surface
+    normal, iterated 3 times so the normal converges on ridged cells (the
+    terrain analog of _plane_ellipsoid)."""
+    sd, n = _hfield_point_at(hpos, hmat, hsize, nrow, ncol, data, epos)
+    x = epos
+    for _ in range(3):
+        a = emat.T @ n
+        w = (esize * esize) * a
+        denom = jnp.sqrt(jnp.maximum(jnp.dot(a, w), 1e-20))
+        x = epos - emat @ (w / denom)
+        sd, n = _hfield_point_at(hpos, hmat, hsize, nrow, ncol, data, x)
+    pos = x - n * (0.5 * sd)
+    return sd[None], pos[None], make_frame(n)[None]
+
+
+def _hfield_cylinder(hpos, hmat, hsize, nrow, ncol, data, cpos, cmat,
+                     csize):
+    """Cylinder vs height field: rim points of the downhill cap (deepest
+    rim point, its +-120-degree companions, and the other cap's deepest
+    rim), each queried against its own local triangle (the terrain analog
+    of _plane_cylinder)."""
+    r, hl = csize[0], csize[1]
+    axis = cmat[:, 2]
+    _, n0 = _hfield_point_at(hpos, hmat, hsize, nrow, ncol, data, cpos)
+    c = jnp.dot(n0, axis)
+    perp = n0 - c * axis
+    plen = jnp.linalg.norm(perp)
+    alt = cmat[:, 0] - n0 * jnp.dot(n0, cmat[:, 0])
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt), 1e-12)
+    dir0 = jnp.where(plen > 1e-10, -perp / jnp.maximum(plen, 1e-12), alt)
+    s = jnp.where(c > 0, -1.0, 1.0)
+    cap_a = cpos + s * hl * axis
+    cap_b = cpos - s * hl * axis
+    cross = jnp.cross(axis, dir0)
+    dir120 = dir0 * (-0.5) + cross * (jnp.sqrt(3.0) / 2.0)
+    dir240 = dir0 * (-0.5) - cross * (jnp.sqrt(3.0) / 2.0)
+    points = [cap_a + r * dir0, cap_a + r * dir120, cap_a + r * dir240,
+              cap_b + r * dir0]
+    ds, ps, fs = [], [], []
+    for p in points:
+        sd, n = _hfield_point_at(hpos, hmat, hsize, nrow, ncol, data, p)
+        ds.append(sd)
+        ps.append(p - n * (0.5 * sd))
+        fs.append(make_frame(n))
+    return jnp.stack(ds), jnp.stack(ps), jnp.stack(fs)
 
 
 def _plane_mesh(ppos, pmat, mpos, mmat, verts):
@@ -876,10 +1062,13 @@ def collision(model: Model, d: Data) -> Data:
                 frames.append(frame)
                 offset += dist.shape[0]
             continue
-        if key in ((GeomType.HFIELD, GeomType.SPHERE),
-                   (GeomType.HFIELD, GeomType.CAPSULE)):
-            fn_h = (_hfield_sphere if key[1] == GeomType.SPHERE
-                    else _hfield_capsule)
+        _HF = {
+            GeomType.SPHERE: _hfield_sphere,
+            GeomType.CAPSULE: _hfield_capsule,
+        }
+        _HF_PRISM = (GeomType.BOX, GeomType.ELLIPSOID, GeomType.CYLINDER)
+        if key[0] == GeomType.HFIELD and (key[1] in _HF
+                                          or key[1] in _HF_PRISM):
             for (g1, g2) in pairs:
                 hid = model.geom_dataid[g1]
                 nrow = model.hfield_nrow[hid]
@@ -891,11 +1080,16 @@ def collision(model: Model, d: Data) -> Data:
                 ).reshape(nrow, ncol)
                 hsize = jnp.asarray(model.hfield_size[hid],
                                     dtype=d.qpos.dtype)
-                dist, pos, frame = fn_h(
-                    d.geom_xpos[g1], d.geom_xmat[g1], hsize, nrow, ncol,
-                    data, d.geom_xpos[g2], d.geom_xmat[g2],
-                    model.geom_size[g2],
-                )
+                if key[1] in _HF_PRISM:
+                    dist, pos, frame = _hfield_prism_mpr(
+                        model, d, g1, g2, hsize, nrow, ncol, data
+                    )
+                else:
+                    dist, pos, frame = _HF[key[1]](
+                        d.geom_xpos[g1], d.geom_xmat[g1], hsize, nrow,
+                        ncol, data, d.geom_xpos[g2], d.geom_xmat[g2],
+                        model.geom_size[g2],
+                    )
                 dists.append(dist)
                 poss.append(pos)
                 frames.append(frame)
@@ -909,7 +1103,7 @@ def collision(model: Model, d: Data) -> Data:
                     dists.append(dist)
                     poss.append(pos)
                     frames.append(frame)
-                    offset += 1
+                    offset += dist.shape[0]
                 continue
             raise NotImplementedError(f"collision {key[0].name}-{key[1].name}")
         fn = _PRIMS[key]

@@ -32,7 +32,7 @@ _POS = (
     SensorType.SUBTREECOM, SensorType.MAGNETOMETER, SensorType.CLOCK,
     SensorType.RANGEFINDER, SensorType.E_POTENTIAL,
     SensorType.GEOMDIST, SensorType.GEOMNORMAL, SensorType.GEOMFROMTO,
-    SensorType.INSIDESITE,
+    SensorType.INSIDESITE, SensorType.CAMPROJECTION,
 )
 _VEL = (
     SensorType.VELOCIMETER, SensorType.GYRO, SensorType.JOINTVEL,
@@ -418,7 +418,26 @@ def sensor_pos(model: Model, d: Data) -> Data:
                     SensorType.GEOMFROMTO):
             val = _geom_distance_family(model, d, i, st, dtype)
         elif st == SensorType.INSIDESITE:
-            val = _inside_site(model, d, i, dtype)[None]
+            val = _insidesite_sensor(model, d, i, dtype)[None]
+        elif st == SensorType.CAMPROJECTION:
+            # pixel coordinates of the target site through a fixed camera
+            # (mjSENS_CAMPROJECTION; formula verified exactly vs MuJoCo):
+            # t = R_cam^T (p - c); x = -t0/t2 * f + W/2, y = t1/t2 * f +
+            # H/2 with f = H / (2 tan(fovy/2)) — the camera looks along -z
+            cid = model.sensor_refid[i]
+            b = model.cam_bodyid[cid]
+            cpos = d.xpos[b] + d.xmat[b] @ model.cam_pos[cid]
+            cmat = d.xmat[b] @ maths.quat_to_mat(model.cam_quat[cid])
+            t = cmat.T @ (d.site_xpos[oid] - cpos)
+            w_res, h_res = model.cam_resolution[cid]
+            fovy = model.cam_fovy[cid]
+            focal = 0.5 * h_res / jnp.tan(
+                fovy * (jnp.pi / 180.0) * 0.5
+            )
+            val = jnp.stack([
+                -t[0] / t[2] * focal + 0.5 * w_res,
+                t[1] / t[2] * focal + 0.5 * h_res,
+            ])
         elif st == SensorType.USER:
             # no mjcb_sensor analog: user sensors stay zero (matches
             # MuJoCo without a callback)
@@ -755,9 +774,11 @@ def _geom_distance_family(model: Model, d: Data, i: int, st, dtype):
     return jnp.where(found, jnp.concatenate([bp1, bp2]), 0.0)
 
 
-def _inside_site(model: Model, d: Data, i: int, dtype):
-    """insidesite: 1.0 when the object's position is inside the site's
-    volume (sphere/capsule/ellipsoid/cylinder/box site types)."""
+def _insidesite_sensor(model: Model, d: Data, i: int, dtype):
+    """insidesite sensor: 1.0 when the object's position is inside the
+    site's volume (sphere/capsule/ellipsoid/cylinder/box site types).
+    Distinct from the touch-sensor helper _inside_site (different
+    signature/use)."""
     from ..model import GeomType as _GT
 
     sid = model.sensor_refid[i]

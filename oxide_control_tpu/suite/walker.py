@@ -65,20 +65,21 @@ class _Walker:
     def kernel_hooks(self, model: Model):
         """In-kernel env layer for the Pallas rollout megakernel.
 
-        The torso pose follows from the root coordinates directly: height
-        = 1.3 + qpos[rootz] (slides are world-aligned; the rooty hinge is
-        anchored at the body origin) and xmat[2,2] = cos(qpos[rooty]) —
-        same expressions the general reward evaluates through FK.  Reset
-        randomization equals init_episode exactly: limited joints uniform
-        within 10% of their range around the range MIDPOINT
-        (randomize_limited_joints), qvel ~ N(0, 0.01^2)."""
+        The reward reads the torso frame from the scalar-graph FK
+        (EnvHooks.needs_fk): the SAME expressions the kernel step already
+        computes, so there is no hand-derived frame reconstruction to keep
+        in sync (VERDICT r3 weak #9).  Reset randomization equals
+        init_episode exactly: limited joints uniform within 10% of their
+        range around the range MIDPOINT (randomize_limited_joints),
+        qvel ~ N(0, 0.01^2)."""
         from ..ops.megakernel import EnvHooks
 
         move_speed = self.move_speed
+        torso = self._torso
 
-        def reward(q, v, ctrl):
-            torso_height = 1.3 + q[0]
-            torso_upright = jnp.cos(q[2])
+        def reward(q, v, ctrl, fk):
+            torso_height = fk["xpos"][torso][2]
+            torso_upright = fk["xmat"][torso][8]
             standing = rewards.tolerance(
                 torso_height, bounds=(_STAND_HEIGHT, jnp.inf),
                 margin=_STAND_HEIGHT / 2,
@@ -116,6 +117,7 @@ class _Walker:
             reset_qvel_sigma=0.01,
             observe=observe,
             n_obs=1 + (model.nq - 2) + model.nv,
+            needs_fk=True,
         )
 
 

@@ -348,7 +348,13 @@ def test_kernel_hooks_reward_parity():
                 q_lists[3 + i] = jnp.asarray(qn[:, i])
         v_lists = [dB.qvel[:, i] for i in range(model.nv)]
         c_lists = [jnp.asarray(ctrl[:, i]) for i in range(model.nu)]
-        r_hooks = hooks.reward(q_lists, v_lists, c_lists)
+        if hooks.needs_fk:
+            from oxide_control_tpu.ops import scalar_graph as sg
+
+            fk = sg.build_fk(model)(q_lists)
+            r_hooks = hooks.reward(q_lists, v_lists, c_lists, fk=fk)
+        else:
+            r_hooks = hooks.reward(q_lists, v_lists, c_lists)
         np.testing.assert_allclose(
             np.asarray(r_hooks), np.asarray(r_general), rtol=0, atol=1e-9,
             err_msg=f"{domain}/{task_name}",

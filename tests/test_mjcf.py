@@ -268,3 +268,44 @@ def test_keyframe_parsing_and_reset():
     bd = reset_data_keyframe(m, bd, 0)
     assert np.asarray(bd.qpos).shape == (4, 2)
     np.testing.assert_allclose(np.asarray(bd.qpos)[2], [0.4, -0.9])
+
+
+def test_mesh_obj_msh_loaders():
+    """OBJ and legacy binary .msh mesh assets (VERDICT r3 missing #6)
+    compile to the same mass/inertia as the oracle."""
+    import os
+    import struct
+    import tempfile
+
+    from oxide_control_tpu.mjcf.compile import load_model
+
+    v = np.array([[x, y, z] for x in (-0.1, 0.1) for y in (-0.08, 0.08)
+                  for z in (-0.05, 0.05)])
+    faces = [(1, 2, 4, 3), (5, 7, 8, 6), (1, 5, 6, 2), (3, 4, 8, 7),
+             (1, 3, 7, 5), (2, 6, 8, 4)]
+    with tempfile.TemporaryDirectory() as td:
+        with open(os.path.join(td, "blob.obj"), "w") as f:
+            for p in v:
+                f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+            for fa in faces:
+                f.write("f " + " ".join(str(i) for i in fa) + "\n")
+        with open(os.path.join(td, "blob.msh"), "wb") as f:
+            f.write(struct.pack("<4i", len(v), 0, 0, 0))
+            f.write(v.astype("<f4").tobytes())
+        for ext in ("obj", "msh"):
+            xml = f"""
+            <mujoco>
+              <asset><mesh name="blob" file="blob.{ext}"/></asset>
+              <worldbody><body pos="0 0 1"><joint type="free"/>
+                <geom type="mesh" mesh="blob" mass="1"/></body></worldbody>
+            </mujoco>"""
+            path = os.path.join(td, f"m_{ext}.xml")
+            open(path, "w").write(xml)
+            ref = mujoco.MjModel.from_xml_path(path)
+            m = load_model(path)
+            assert abs(float(np.asarray(m.body_mass)[1])
+                       - ref.body_mass[1]) < 1e-10
+            np.testing.assert_allclose(
+                np.sort(np.asarray(m.body_inertia)[1]),
+                np.sort(ref.body_inertia[1]), atol=1e-9,
+            )

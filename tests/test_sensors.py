@@ -345,3 +345,30 @@ def test_insidesite_tendonactfrc_user_golden():
     """
     ref, mjd, ours = rollout_sensordata(xml, 200, seed=13)
     _assert_sensors_close(ref, mjd, ours, 1e-7)
+
+
+def test_camprojection_golden():
+    """camprojection sensor: pixel coordinates of a site through a fixed
+    camera (fovy + resolution intrinsics), exact vs MuJoCo."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002"/>
+      <worldbody>
+        <body pos="0 0 1">
+          <joint name="h" type="hinge" axis="0 1 0" damping="0.1"/>
+          <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" mass="1"/>
+          <site name="tip" pos="0.3 0 0"/>
+        </body>
+        <body pos="1 0.3 1.5">
+          <joint name="c" type="hinge" axis="0 0 1" damping="0.1"/>
+          <geom type="sphere" size="0.02" mass="0.1"/>
+          <camera name="cam" pos="0 0 0" euler="0 50 0" fovy="45"
+                  resolution="640 480"/>
+        </body>
+      </worldbody>
+      <actuator><motor joint="h" gear="1"/><motor joint="c" gear="1"/></actuator>
+      <sensor><camprojection site="tip" camera="cam"/></sensor>
+    </mujoco>
+    """
+    ref, mjd, ours = rollout_sensordata(xml, 150, seed=17)
+    _assert_sensors_close(ref, mjd, ours, 1e-7)
