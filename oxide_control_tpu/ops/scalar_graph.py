@@ -304,6 +304,9 @@ def motion_cross(v, c):
 _SUPPORTED_PAIRS = (
     (GeomType.PLANE, GeomType.SPHERE),
     (GeomType.PLANE, GeomType.CAPSULE),
+    (GeomType.PLANE, GeomType.BOX),
+    (GeomType.PLANE, GeomType.ELLIPSOID),
+    (GeomType.PLANE, GeomType.CYLINDER),
     (GeomType.SPHERE, GeomType.SPHERE),
     (GeomType.SPHERE, GeomType.CAPSULE),
     (GeomType.SPHERE, GeomType.BOX),
@@ -323,9 +326,11 @@ def supports(model: Model) -> bool:
       (as the body's only joint, unlimited, no spring)
     * integrators: Euler (incl. implicit joint damping), RK4
     * solver: Newton, pyramidal AND elliptic cones, condim 1 and 3
-    * contacts: plane-sphere, plane-capsule, sphere-sphere, sphere-capsule,
-      sphere-box, capsule-capsule, capsule-box (self-collision included)
-    * equality: connect, weld, joint — statically active (eq_active0)
+    * contacts: plane-sphere/capsule/box/ellipsoid/cylinder, sphere-
+      sphere, sphere-capsule, sphere-box, capsule-capsule, capsule-box
+      (self-collision included)
+    * equality: connect, weld, joint, tendon (fixed tendons) —
+      statically active (eq_active0)
     * actuators: stateless + stateful (integrator/filter/filterexact/
       muscle) with joint (hinge/slide), fixed-tendon, or site (no refsite)
       transmission
@@ -341,8 +346,8 @@ def supports(model: Model) -> bool:
     * free-joint limits/springs; free joint sharing a body with other
       joints; actuators on ball/free joints
     * implicit/implicitfast integrators; CG/PGS solvers
-    * contact pairs outside the list above (box-box, cylinder, ellipsoid,
-      mesh, hfield); condim 4/6
+    * contact pairs outside the list above (box-box, non-plane cylinder/
+      ellipsoid pairings, mesh, hfield); condim 4/6
     """
     if model.nmocap:
         return False
@@ -1855,6 +1860,72 @@ def _np_contacts_sg(model, mc, ta, tb, g1, g2, xpos, xmat):
             dist = sub(dot3(n, point), add(dot3(n, p1), r))
             pos = vsub3(point, vscale3(n, add(r, mul(0.5, dist))))
             out.append((dist, pos, n, t1u))
+        return out
+
+    if ta == GeomType.PLANE and tb == GeomType.BOX:
+        # all 8 corners (matches collision._plane_box lane-for-lane)
+        n = mat_col(m1, 2)
+        pn = dot3(n, p1)
+        out = []
+        for sx in (-1.0, 1.0):
+            for sy in (-1.0, 1.0):
+                for sz in (-1.0, 1.0):
+                    local = (sx * s2[0], sy * s2[1], sz * s2[2])
+                    corner = vadd3(p2, mat_vec(m2, local))
+                    dist = sub(dot3(n, corner), pn)
+                    pos = vsub3(corner, vscale3(n, mul(0.5, dist)))
+                    out.append((dist, pos, n, None))
+        return out
+
+    if ta == GeomType.PLANE and tb == GeomType.ELLIPSOID:
+        # support point opposite the plane normal
+        # (collision._plane_ellipsoid)
+        n = mat_col(m1, 2)
+        a = mat_vec_t(m2, n)
+        w = tuple(mul(s2[i] * s2[i], a[i]) for i in range(3))
+        denom = jnp.sqrt(jnp.maximum(dot3(a, w), 1e-20))
+        x = vsub3(p2, mat_vec(m2, tuple(wi / denom for wi in w)))
+        dist = sub(dot3(n, x), dot3(n, p1))
+        pos = vsub3(x, vscale3(n, mul(0.5, dist)))
+        return [(dist, pos, n, None)]
+
+    if ta == GeomType.PLANE and tb == GeomType.CYLINDER:
+        # rim points of the downhill cap (collision._plane_cylinder)
+        n = mat_col(m1, 2)
+        r, hl = s2[0], s2[1]
+        axis = mat_col(m2, 2)
+        c = dot3(n, axis)
+        perp = vsub3(n, vscale3(axis, c))
+        plen = jnp.sqrt(jnp.maximum(dot3(perp, perp), 0.0))
+        altv = mat_col(m2, 0)
+        alt = vsub3(altv, vscale3(n, dot3(n, altv)))
+        altn = jnp.sqrt(jnp.maximum(dot3(alt, alt), 1e-24))
+        altu = tuple(ai / altn for ai in alt)
+        good = plen > 1e-10
+        safe = jnp.where(good, plen, 1.0)
+        dir0 = tuple(
+            jnp.where(good, -pi_ / safe, au)
+            for pi_, au in zip(perp, altu)
+        )
+        sgn = jnp.where(c > 0, -1.0, 1.0)
+        cap_a = vadd3(p2, vscale3(axis, sgn * hl))
+        cap_b = vsub3(p2, vscale3(axis, sgn * hl))
+        crossd = cross3(axis, dir0)
+        root3_2 = math.sqrt(3.0) / 2.0
+        dir120 = vadd3(vscale3(dir0, -0.5), vscale3(crossd, root3_2))
+        dir240 = vsub3(vscale3(dir0, -0.5), vscale3(crossd, root3_2))
+        pts = [
+            vadd3(cap_a, vscale3(dir0, r)),
+            vadd3(cap_a, vscale3(dir120, r)),
+            vadd3(cap_a, vscale3(dir240, r)),
+            vadd3(cap_b, vscale3(dir0, r)),
+        ]
+        pn = dot3(n, p1)
+        out = []
+        for point in pts:
+            dist = sub(dot3(n, point), pn)
+            pos = vsub3(point, vscale3(n, mul(0.5, dist)))
+            out.append((dist, pos, n, None))
         return out
 
     if (ta, tb) == (GeomType.SPHERE, GeomType.SPHERE):

@@ -29,7 +29,7 @@ def max_contacts_per_pair(t1: int, t2: int) -> int:
     if pair == (GeomType.PLANE, GeomType.CAPSULE):
         return 2
     if pair == (GeomType.PLANE, GeomType.BOX):
-        return 4
+        return 8
     if pair == (GeomType.PLANE, GeomType.CYLINDER):
         return 4
     if pair == (GeomType.CAPSULE, GeomType.CAPSULE):
@@ -108,18 +108,18 @@ def _plane_capsule(ppos, pmat, psize, cpos, cmat, csize):
 
 def _plane_box(ppos, pmat, psize, bpos, bmat, bsize):
     n = pmat[:, 2]
-    # 4 deepest corners: choose the 4 corners on the lower side per axis sign
-    # enumerate all 8 corners, take 4 smallest distances via top_k
+    # all 8 corners as static lanes, gated downstream by dist < margin (at
+    # most 4 box corners can be coplanar with the plane, so the active set
+    # matches the former deepest-4 top_k selection without the data
+    # movement — and the scalar-graph kernel can mirror the lanes exactly)
     signs = jnp.array(
         [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
         dtype=bpos.dtype,
     )  # (8, 3)
     corners = bpos[None, :] + (signs * bsize[None, :]) @ bmat.T  # (8, 3)
-    dist8 = corners @ n - jnp.dot(n, ppos)
-    neg_top, idx = jax.lax.top_k(-dist8, 4)
-    dist = -neg_top
-    pos = corners[idx] - n[None, :] * (0.5 * dist)[:, None]
-    return dist, pos, jnp.broadcast_to(make_frame(n), (4, 3, 3))
+    dist = corners @ n - jnp.dot(n, ppos)
+    pos = corners - n[None, :] * (0.5 * dist)[:, None]
+    return dist, pos, jnp.broadcast_to(make_frame(n), (8, 3, 3))
 
 
 def _sphere_sphere_raw(p1, r1, p2, r2, dtype):

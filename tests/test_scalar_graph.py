@@ -717,3 +717,49 @@ def test_tendon_equality_scalar_graph():
     assert m.neq == 1
     assert sg.supports(m)
     _parity_rollout(m, nsteps=25, tol=1e-6)
+
+
+def test_plane_box_cylinder_ellipsoid_scalar_graph():
+    """Plane-box (8 corner lanes), plane-cylinder (rim lanes) and
+    plane-ellipsoid (support lane) in the kernel class (r4), vs the
+    general pipeline on a tumbling-shapes model."""
+    from oxide_control_tpu import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option solver="Newton" iterations="10" tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1" contype="1"
+              conaffinity="2"/>
+        <body pos="0 0 0.35">
+          <joint name="h1" type="hinge" axis="0 1 0" damping="0.1"/>
+          <joint name="s1" type="slide" axis="0 0 1" damping="0.1"/>
+          <geom name="bx" type="box" size="0.12 0.1 0.08" mass="1"
+                contype="2" conaffinity="1"/>
+        </body>
+        <body pos="0.6 0 0.3">
+          <joint name="h2" type="hinge" axis="1 0 0" damping="0.1"/>
+          <geom name="cyl" type="cylinder" size="0.08 0.12" mass="0.5"
+                contype="2" conaffinity="1"/>
+        </body>
+        <body pos="1.2 0 0.3">
+          <joint name="h3" type="hinge" axis="0 1 0" damping="0.1"/>
+          <geom name="ell" type="ellipsoid" size="0.12 0.09 0.06"
+                mass="0.4" contype="2" conaffinity="1"/>
+        </body>
+      </worldbody>
+      <actuator>
+        <motor joint="h1" gear="2"/><motor joint="h2" gear="2"/>
+        <motor joint="h3" gear="2"/>
+      </actuator>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    from oxide_control_tpu.model import GeomType
+
+    types = {(GeomType(t1), GeomType(t2)) for (t1, t2, _) in m.pair_groups}
+    assert (GeomType.PLANE, GeomType.BOX) in types
+    assert (GeomType.PLANE, GeomType.CYLINDER) in types
+    assert (GeomType.PLANE, GeomType.ELLIPSOID) in types
+    assert sg.supports(m)
+    _parity_rollout(m, nsteps=25, tol=1e-6)
