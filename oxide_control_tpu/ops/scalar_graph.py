@@ -325,7 +325,8 @@ def supports(model: Model) -> bool:
     * joints: hinge, slide, ball (incl. limits + rotational springs), free
       (as the body's only joint, unlimited, no spring)
     * integrators: Euler (incl. implicit joint damping), RK4
-    * solver: Newton, pyramidal AND elliptic cones, condim 1 and 3
+    * solver: Newton; pyramidal cones at condim 1/3/4/6 (torsional +
+      rolling friction), elliptic cones at condim 1/3
     * contacts: plane-sphere/capsule/box/ellipsoid/cylinder, sphere-
       sphere, sphere-capsule, sphere-box, capsule-capsule, capsule-box
       (self-collision included)
@@ -347,7 +348,7 @@ def supports(model: Model) -> bool:
       joints; actuators on ball/free joints
     * implicit/implicitfast integrators; CG/PGS solvers
     * contact pairs outside the list above (box-box, non-plane cylinder/
-      ellipsoid pairings, mesh, hfield); condim 4/6
+      ellipsoid pairings, mesh, hfield); elliptic cones at condim 4/6
     """
     if model.nmocap:
         return False
@@ -390,9 +391,14 @@ def supports(model: Model) -> bool:
     for (t1, t2, pairs) in model.pair_groups:
         if (GeomType(t1), GeomType(t2)) not in _SUPPORTED_PAIRS:
             return False
+    from .. import model as _model_mod
+
+    elliptic = model.opt.cone == _model_mod.ConeType.ELLIPTIC
     for c in model.pair_condim:
-        if c not in (1, 3):
+        if c not in (1, 3, 4, 6):
             return False
+        if elliptic and c > 3:
+            return False  # elliptic cone groups are built for condim 3
     return True
 
 
@@ -1698,11 +1704,33 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                         exists=exists, mu=mus, mu0=mu0, impratio=impr,
                     ))
                 else:
+                    # pyramidal facets: 2 tangent directions (condim 3),
+                    # + torsional spin (condim 4), + 2 rolling (condim 6);
+                    # diagApprox for ALL pyramid rows uses friction[0]
+                    # (constraint.py contact assembly, verified vs
+                    # efc_diagA)
                     jt1 = {dof: dot3(t1f, v) for dof, v in jrows.items()}
                     jt2 = {dof: dot3(t2f, v) for dof, v in jrows.items()}
-                    for ti, jt in ((0, jt1), (1, jt2)):
-                        mu = float(friction[ti])
-                        dap = iw * 2.0 * mu * mu * (1.0 + mu * mu)
+                    axes = [(jt1, float(friction[0])),
+                            (jt2, float(friction[1]))]
+                    if condim >= 4:
+                        jrot = _rot_jac_rel(model, cdof, bd_mask, b1, b2)
+                        axes.append((
+                            {dof: dot3(n, av) for dof, av in jrot.items()},
+                            float(friction[2]),
+                        ))
+                    if condim == 6:
+                        axes.append((
+                            {dof: dot3(t1f, av) for dof, av in jrot.items()},
+                            float(friction[3]),
+                        ))
+                        axes.append((
+                            {dof: dot3(t2f, av) for dof, av in jrot.items()},
+                            float(friction[4]),
+                        ))
+                    mu0 = float(friction[0])
+                    dap = iw * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
+                    for (jt, mu) in axes:
                         for sgn in (1.0, -1.0):
                             J = dict(jn)
                             for dof, val in jt.items():
@@ -2055,6 +2083,24 @@ def _point_jac_rel(model, cdof, subtree_com, bd_mask, point, b1, b2):
             contrib = vadd3(lin, cross3(ang, arm))
             if s < 0:
                 contrib = tuple(neg(c) for c in contrib)
+            if dof in out:
+                out[dof] = vadd3(out[dof], contrib)
+            else:
+                out[dof] = contrib
+    return out
+
+
+def _rot_jac_rel(model, cdof, bd_mask, b1, b2):
+    """Sparse dict dof -> vec3: relative ROTATIONAL jacobian (body2 -
+    body1): the angular cdof difference, for torsional/rolling friction
+    axes."""
+    out = {}
+    for body, s in ((b2, 1.0), (b1, -1.0)):
+        for dof in range(model.nv):
+            if not bd_mask[body, dof]:
+                continue
+            ang = cdof[dof][0]
+            contrib = ang if s > 0 else tuple(neg(a) for a in ang)
             if dof in out:
                 out[dof] = vadd3(out[dof], contrib)
             else:

@@ -504,9 +504,11 @@ def test_supports_documented_rejections():
     assert not sg.supports(make(opt='integrator="implicitfast"'))
     assert not sg.supports(make(opt='solver="CG"'))
     assert not sg.supports(make(opt='solver="PGS"'))
-    # condim 4/6
-    assert not sg.supports(make(condim='condim="4"'))
-    assert not sg.supports(make(condim='condim="6"'))
+    # condim 4/6 pyramidal are covered (r4); elliptic cones reject them
+    assert sg.supports(make(condim='condim="4"'))
+    assert sg.supports(make(condim='condim="6"'))
+    assert not sg.supports(make(opt='solver="Newton" cone="elliptic"',
+                                condim='condim="4"'))
     # free-joint limits (free-joint limit rows are not built)
     assert not sg.supports(make(
         joint='<joint type="free" limited="true" range="0 1"/>'
@@ -763,3 +765,64 @@ def test_plane_box_cylinder_ellipsoid_scalar_graph():
     assert (GeomType.PLANE, GeomType.ELLIPSOID) in types
     assert sg.supports(m)
     _parity_rollout(m, nsteps=25, tol=1e-6)
+
+
+def test_condim46_scalar_graph():
+    """Torsional (condim 4) and rolling (condim 6) pyramidal friction in
+    the kernel class (r4), vs the general pipeline: spinning/rolling
+    spheres on a plane."""
+    from oxide_control_tpu import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option solver="Newton" iterations="10" tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body pos="0 0 0.12">
+          <freejoint/>
+          <geom type="sphere" size="0.12" mass="1" condim="6"
+                friction="1 0.02 0.005"/>
+        </body>
+        <body pos="0.5 0 0.1">
+          <freejoint/>
+          <geom type="sphere" size="0.1" mass="0.5" condim="4"
+                friction="0.8 0.05"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert set(m.pair_condim) == {4, 6}
+    assert sg.supports(m)
+    import dataclasses
+
+    step_s = sg.build_step(m)
+    B = 6
+    rng = np.random.default_rng(17)
+    qpos = np.tile(np.asarray(m.qpos0), (B, 1))
+    qvel = np.zeros((B, m.nv))
+    # spin + roll + slide so every friction axis works
+    qvel[:, 0:3] = rng.uniform(-1, 1, (B, 3))
+    qvel[:, 3:6] = rng.uniform(-8, 8, (B, 3))
+    qvel[:, 6:9] = rng.uniform(-1, 1, (B, 3))
+    qvel[:, 9:12] = rng.uniform(-8, 8, (B, 3))
+    ws = np.zeros((B, m.nv))
+
+    d = make_data(m)
+    dB = jax.vmap(
+        lambda q, v, w: d.replace(qpos=q, qvel=v, qacc_warmstart=w)
+    )(jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ws))
+    step_ref = jax.jit(jax.vmap(lambda x: fwd.step(m, x)))
+
+    q_l = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
+    v_l = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
+    a_l = []
+    w_l = [jnp.asarray(ws[:, i]) for i in range(m.nv)]
+
+    err = 0.0
+    for _ in range(25):
+        dB = step_ref(dB)
+        q_l, v_l, a_l, w_l = step_s(q_l, v_l, a_l, w_l, [])
+        qp = np.stack([np.asarray(x) for x in q_l], axis=1)
+        err = max(err, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
+    assert err < 1e-6, err
