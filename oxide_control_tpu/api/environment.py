@@ -107,6 +107,11 @@ class Environment:
         from ..physics import smooth as _smooth
 
         data = _smooth.kinematics(self._model, data)
+        # extend the lazy-forward idiom to sensordata: dm_control's
+        # observation reads trigger mj_forward at the post-step state, so
+        # pos/vel-stage sensors are FRESH at observe time (not the
+        # pre-integration values mj_step left behind); see sensor_refresh
+        data = _forward.sensor_refresh(self._model, data)
         obs = self._task.observe(self._model, data)
         reward = self._task.reward(self._model, data, obs, action)
         done = self._task.done(self._model, data, obs)
@@ -153,11 +158,21 @@ class BatchedEnvironment:
         return jax.vmap(self._env.reset)(keys)
 
     def _reset_one(self, rng: jax.Array) -> Data:
-        # No forward here: auto-reset lanes only need a valid *core* state —
-        # derived quantities are recomputed by the next step's forward, and
-        # the TimeStep reports the pre-reset observation.
+        # No full forward here: auto-reset lanes only need a valid *core*
+        # state — derived quantities are recomputed by the next step's
+        # forward, and the TimeStep reports the pre-reset observation.
+        # Sensors are the exception: the post-reset observation a policy
+        # acts on must carry valid sensordata (pos/vel fresh; the acc
+        # family reads the zero qacc — the megakernel's zeroed carry
+        # matches this exactly), so refresh them at the reset state.
         data = make_data(self._model)
-        return self._task.init_episode(self._model, data, rng)
+        data = self._task.init_episode(self._model, data, rng)
+        if self._model.nsensor:
+            from ..physics import smooth as _smooth
+
+            data = _smooth.kinematics(self._model, data)
+            data = _forward.sensor_refresh(self._model, data)
+        return data
 
     def step(self, data: Data, action, rng: jax.Array):
         """Vectorized step + masked auto-reset.

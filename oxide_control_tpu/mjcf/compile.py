@@ -709,24 +709,49 @@ class _Compiler:
     def _add_camera(self, elem: ET.Element, body_id: int, cls: str):
         attrs = dict(elem.attrib)
         mode = attrs.get("mode", "fixed")
-        if mode != "fixed":
+        modes = {"fixed": 0, "track": 1, "trackcom": 2, "targetbody": 3,
+                 "targetbodycom": 4}
+        if mode not in modes:
             raise UnsupportedFeatureError(
-                f"camera mode {mode!r} not supported (fixed only)"
+                f"camera mode {mode!r} not supported"
             )
-        if "focal" in attrs or "focalpixel" in attrs or \
-                "sensorsize" in attrs:
-            raise UnsupportedFeatureError(
-                "explicit camera intrinsics (focal/sensorsize) not "
-                "supported; use fovy + resolution"
+        if mode in ("targetbody", "targetbodycom") and "target" not in attrs:
+            raise ModelError(f"camera mode {mode!r} needs a target body")
+        resolution = tuple(int(x) for x in
+                           _attr_floats(attrs, "resolution", [1, 1], 2))
+        # intrinsics (mjModel.cam_intrinsic semantics): focal (fx, fy) in
+        # length units + sensorsize; focalpixel converts via
+        # sensorsize / resolution.  Empty sensorsize -> fovy projection.
+        sensorsize = tuple(_attr_floats(attrs, "sensorsize", [0, 0], 2))
+        intrinsic = [0.0, 0.0, 0.0, 0.0]
+        if sensorsize != (0.0, 0.0):
+            if "focalpixel" in attrs:
+                fp = _attr_floats(attrs, "focalpixel", [0, 0], 2)
+                intrinsic[0] = fp[0] * sensorsize[0] / resolution[0]
+                intrinsic[1] = fp[1] * sensorsize[1] / resolution[1]
+            else:
+                intrinsic[:2] = _attr_floats(attrs, "focal", [0, 0], 2)
+            if "principalpixel" in attrs:
+                pp = _attr_floats(attrs, "principalpixel", [0, 0], 2)
+                intrinsic[2] = pp[0] * sensorsize[0] / resolution[0]
+                intrinsic[3] = pp[1] * sensorsize[1] / resolution[1]
+            else:
+                intrinsic[2:] = _attr_floats(attrs, "principal", [0, 0], 2)
+        elif "focal" in attrs or "focalpixel" in attrs:
+            raise ModelError(
+                "camera focal/focalpixel needs an explicit sensorsize"
             )
         self.cameras.append(dict(
             name=attrs.get("name", f"camera{len(self.cameras)}"),
             body=body_id,
+            mode=modes[mode],
+            target=attrs.get("target"),
             pos=_attr_floats(attrs, "pos", [0, 0, 0], 3),
             quat=self._orientation(attrs),
             fovy=_attr_float(attrs, "fovy", 45.0),
-            resolution=tuple(int(x) for x in
-                             _attr_floats(attrs, "resolution", [1, 1], 2)),
+            resolution=resolution,
+            sensorsize=sensorsize,
+            intrinsic=tuple(intrinsic),
         ))
 
     def _set_inertial(self, elem: ET.Element, body_id: int):
@@ -2122,6 +2147,13 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
             len(c.cameras), 4)),
         cam_fovy=f(np.array([cam["fovy"] for cam in c.cameras])),
         cam_resolution=tuple(cam["resolution"] for cam in c.cameras),
+        cam_mode=tuple(cam["mode"] for cam in c.cameras),
+        cam_targetbodyid=tuple(
+            -1 if cam["target"] is None else _cam_target_id(names, cam)
+            for cam in c.cameras
+        ),
+        cam_sensorsize=tuple(cam["sensorsize"] for cam in c.cameras),
+        cam_intrinsic=tuple(cam["intrinsic"] for cam in c.cameras),
         site_pos=f(np.array([s["pos"] for s in c.sites]).reshape(nsite, 3)),
         site_quat=f(np.array([s["quat"] for s in c.sites]).reshape(nsite, 4)),
         site_size=f(np.array([s["size"] for s in c.sites]).reshape(nsite, 3)),
@@ -2175,9 +2207,85 @@ def _compile(root: ET.Element, base_dir: str | None = None, dtype=np.float64) ->
         key_ctrl=None if key_ctrl is None else f(key_ctrl),
     )
     model = _set_const(model)
+    model = _set_cam_const(model)
     if dtype != np.float64:
         model = model.astype(dtype)
     return model
+
+
+def _cam_target_id(names, cam):
+    try:
+        return names.body.index(cam["target"])
+    except ValueError:
+        raise ModelError(
+            f"camera {cam['name']!r} targets unknown body "
+            f"{cam['target']!r}"
+        )
+
+
+def _set_cam_const(model: Model) -> Model:
+    """Camera qpos0 constants (mjModel cam_pos0 / cam_poscom0 / cam_mat0
+    semantics, verified empirically vs MuJoCo 3.10):
+
+    * cam_pos0    = camera world position - body world position at qpos0
+    * cam_poscom0 = camera world position - subtree com at qpos0 of the
+      camera's OWN body for fixed/track modes, of the TARGET body for
+      targetbody/targetbodycom (the observed MuJoCo convention)
+    * cam_mat0    = camera world orientation at qpos0, with the look-at
+      construction already applied for target modes
+    """
+    from ..model import CamMode
+    from ..physics import smooth as _smooth
+
+    if not model.ncam:
+        return model
+    nbody = model.nbody
+    body_pos = np.asarray(model.body_pos, dtype=np.float64)
+    body_quat = np.asarray(model.body_quat, dtype=np.float64)
+    body_ipos = np.asarray(model.body_ipos, dtype=np.float64)
+    body_mass = np.asarray(model.body_mass, dtype=np.float64)
+    xpos = np.zeros((nbody, 3))
+    xmat = np.tile(np.eye(3), (nbody, 1, 1))
+    for b in range(1, nbody):
+        p = model.body_parentid[b]
+        xpos[b] = xpos[p] + xmat[p] @ body_pos[b]
+        xmat[b] = xmat[p] @ _quat_to_mat(body_quat[b])
+    xipos = xpos + np.einsum("bij,bj->bi", xmat, body_ipos)
+    sub = (body_mass[:, None] * xipos).copy()
+    subm = body_mass.copy()
+    for b in range(nbody - 1, 0, -1):
+        p = model.body_parentid[b]
+        subm[p] += subm[b]
+        sub[p] += sub[b]
+    sub_com = np.where(
+        (subm > 0)[:, None], sub / np.maximum(subm, 1e-12)[:, None], xpos
+    )
+
+    cam_pos = np.asarray(model.cam_pos, dtype=np.float64)
+    cam_quat = np.asarray(model.cam_quat, dtype=np.float64)
+    pos0 = np.zeros((model.ncam, 3))
+    poscom0 = np.zeros((model.ncam, 3))
+    mat0 = np.zeros((model.ncam, 3, 3))
+    for i in range(model.ncam):
+        b = model.cam_bodyid[i]
+        mode = CamMode(model.cam_mode[i])
+        cw = xpos[b] + xmat[b] @ cam_pos[i]
+        # mat0 is the RIGID orientation even for target modes (verified:
+        # MuJoCo applies the look-at only at runtime; mat0 is unused then)
+        cm = xmat[b] @ _quat_to_mat(cam_quat[i])
+        if mode in (CamMode.TARGETBODY, CamMode.TARGETBODYCOM):
+            com_ref = sub_com[model.cam_targetbodyid[i]]
+        else:
+            com_ref = sub_com[b]
+        pos0[i] = cw - xpos[b]
+        poscom0[i] = cw - com_ref
+        mat0[i] = cm
+    dtype = np.asarray(model.cam_pos).dtype
+    return model.replace(
+        cam_pos0=np.asarray(pos0, dtype=dtype),
+        cam_poscom0=np.asarray(poscom0, dtype=dtype),
+        cam_mat0=np.asarray(mat0, dtype=dtype),
+    )
 
 
 def _set_const(model: Model) -> Model:

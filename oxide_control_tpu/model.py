@@ -61,6 +61,16 @@ class ConeType(enum.IntEnum):
     ELLIPTIC = 1
 
 
+class CamMode(enum.IntEnum):
+    """Camera motion modes (values match mjtCamLight)."""
+
+    FIXED = 0
+    TRACK = 1
+    TRACKCOM = 2
+    TARGETBODY = 3
+    TARGETBODYCOM = 4
+
+
 class TrnType(enum.IntEnum):
     # values match MuJoCo's mjtTrn
     JOINT = 0
@@ -400,13 +410,23 @@ class Model:
     # source of truth for length/moment (smooth.tendon_length_moment).
     tendon_path: tuple = static_field(default=())
     tendon_length0: Any = None     # (ntendon,) length at qpos0
-    # fixed cameras (mode='fixed' only; camprojection sensors)
+    # cameras: fixed / track / trackcom / targetbody / targetbodycom
+    # (mjtCamLight modes; camprojection sensors + Data.cam_xpos/cam_xmat)
     ncam: int = static_field(default=0)
     cam_bodyid: tuple = static_field(default=())
     cam_pos: Any = None            # (ncam, 3)
     cam_quat: Any = None           # (ncam, 4)
     cam_fovy: Any = None           # (ncam,)
     cam_resolution: tuple = static_field(default=())  # (ncam, 2) ints
+    cam_mode: tuple = static_field(default=())        # (ncam,) CamMode ints
+    cam_targetbodyid: tuple = static_field(default=())  # (ncam,) -1 = none
+    cam_pos0: Any = None           # (ncam, 3) world offset from body, qpos0
+    cam_poscom0: Any = None        # (ncam, 3) offset from subtree com, qpos0
+    cam_mat0: Any = None           # (ncam, 3, 3) world orientation at qpos0
+    # intrinsics: (fx, fy) focal + sensor size in length units; empty
+    # sensorsize (0, 0) selects the fovy projection model
+    cam_sensorsize: tuple = static_field(default=())  # (ncam, 2) floats
+    cam_intrinsic: tuple = static_field(default=())   # (ncam, 4) floats
     # refsite id per actuator (-1 = none; site transmission only)
     actuator_refid: tuple = static_field(default=())
 

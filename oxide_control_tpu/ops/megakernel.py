@@ -90,6 +90,15 @@ class EnvHooks:
     # frames and site positions from the SAME expressions the step
     # computes, so frame-based rewards need no hand-derived twins
     needs_fk: bool = False
+    # when True, observe receives a keyword argument ``sensordata`` — a
+    # list of model.nsensordata scalar rows computed IN KERNEL by
+    # scalar_graph.build_sensors at the observed state (pos/vel stages
+    # fresh; accelerometer-family with the previous step's stage-1 qacc,
+    # carried in the kernel state).  Matches the general path's post-step
+    # sensor refresh (api/environment.py) element for element, so IMU/
+    # frame-based observations ride the fast path (VERDICT r4 next #2).
+    # Requires scalar_graph.sensors_supported(model).
+    needs_sensors: bool = False
 
 
 def build_rollout(
@@ -101,6 +110,7 @@ def build_rollout(
     interpret: bool = False,
     emit_obs: bool = False,
     policy: MLPPolicy | None = None,
+    traj_budget_bytes: int = 30 * 1024 * 1024,
 ):
     """Compile a K-step rollout kernel.
 
@@ -132,28 +142,70 @@ def build_rollout(
             "emit_obs/policy need EnvHooks.observe"
         )
     n_obs = hooks.n_obs if hooks is not None else 0
+    needs_sensors = hooks is not None and hooks.needs_sensors
+    if needs_sensors:
+        assert sg.sensors_supported(model), (
+            "needs_sensors requires every sensor in the kernel family "
+            "(scalar_graph.sensors_supported)"
+        )
+        from ..model import SensorType as _ST
+
+        sens_fn = sg.build_sensors(model)
+        # accelerometer-family sensors read the previous step's stage-1
+        # qacc, carried as an extra kernel state element
+        carry_qacc = any(
+            _ST(t) in sg._ACC_SENSORS for t in model.sensor_type
+        )
+    else:
+        sens_fn = None
+        carry_qacc = False
 
     # VMEM-aware tile sizing (r2 weak #7: the 100MB scoped-vmem ceiling was
     # a hard wall).  The Newton/Cholesky peak holds O(nv^2) live lane
     # vectors per tile; when the rough estimate would blow the ceiling,
     # halve the tile (the grid grows instead) rather than failing in
     # Mosaic.  Estimate calibrated on humanoid (nv=27 peaks ~5k vectors).
+    na_rows = max(na, 1)   # Pallas block shapes must be nonzero
+    nu_rows = max(nu, 1)
     est_vectors = 7 * nv * nv + 40 * nv + 6 * nq + 300
-    # trajectory blocks live in VMEM for the whole program
-    est_vectors += steps_per_call * max(nu, 1)          # ctrl in or ctrls out
-    if emit_obs:
-        est_vectors += steps_per_call * (n_obs + 2)
     if policy is not None:
         est_vectors += 2 * (n_obs + sum(policy.hidden) + nu)
-    budget = 90 * 1024 * 1024
+    if needs_sensors:
+        est_vectors += 2 * nv + model.nsensordata
+    budget = 60 * 1024 * 1024
     while tile > 128 and est_vectors * tile * 4 > budget:
         tile //= 2
     while batch % tile:
         tile //= 2
     assert batch % tile == 0
-    na_rows = max(na, 1)   # Pallas block shapes must be nonzero
-    nu_rows = max(nu, 1)
-    step = sg.build_step(model)
+
+    # --- trajectory streaming (VERDICT r4 next #5) ---
+    # The ctrl input and the collected (obs, reward, done, ctrl) outputs
+    # scale with K; instead of holding K x rows in VMEM for the program's
+    # lifetime (which forced tile halving), the grid gains a SEQUENTIAL
+    # second dimension over K-chunks: per chunk, Pallas streams a
+    # (k_chunk, rows, tile) block HBM<->VMEM while the state carry stays
+    # resident in the output blocks (their index map ignores the chunk
+    # index, so Mosaic keeps them in VMEM across the whole row).
+    per_step_rows = nu_rows if policy is None else 0
+    if emit_obs:
+        per_step_rows += n_obs + 2 + (nu_rows if policy is not None else 0)
+    traj_budget = traj_budget_bytes
+    while tile > 128 and per_step_rows * tile * 4 > traj_budget:
+        tile //= 2
+    k_chunk = steps_per_call
+    if per_step_rows:
+        for div in range(1, steps_per_call + 1):
+            if steps_per_call % div:
+                continue
+            kc = steps_per_call // div
+            if per_step_rows * kc * tile * 4 <= traj_budget:
+                k_chunk = kc
+                break
+        else:
+            k_chunk = 1
+    n_chunks = steps_per_call // k_chunk
+    step = sg.build_step(model, want_qacc=carry_qacc)
     fk_fn = sg.build_fk(model) if (hooks is not None
                                    and hooks.needs_fk) else None
     h = float(model.opt.timestep)
@@ -190,6 +242,9 @@ def build_rollout(
         i_ = 0
         qpos_ref, qvel_ref, act_ref, ws_ref, time_ref = refs[i_:i_ + 5]
         i_ += 5
+        if carry_qacc:
+            qa_ref = refs[i_]
+            i_ += 1
         if policy is None:
             ctrl_ref = refs[i_]
             i_ += 1
@@ -199,9 +254,13 @@ def build_rollout(
         for _ in range(n_layers):
             param_refs.append((refs[i_], refs[i_ + 1]))
             i_ += 2
-        (oq_ref, ov_ref, oa_ref, ows_ref, ot_ref, orew_ref,
-         odiv_ref) = refs[i_:i_ + 7]
-        i_ += 7
+        (oq_ref, ov_ref, oa_ref, ows_ref, ot_ref) = refs[i_:i_ + 5]
+        i_ += 5
+        if carry_qacc:
+            oqa_ref = refs[i_]
+            i_ += 1
+        orew_ref, odiv_ref = refs[i_:i_ + 2]
+        i_ += 2
         if emit_obs:
             oobs_ref, orews_ref, odones_ref = refs[i_:i_ + 3]
             i_ += 3
@@ -209,19 +268,46 @@ def build_rollout(
                 octrl_ref = refs[i_]
                 i_ += 1
 
-        if (any_noise or explore) and not interpret:
-            # per-tile PRNG stream for reset/exploration randomization
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        j = pl.program_id(1)  # sequential K-chunk index
 
-        q0 = tuple(qpos_ref[i, :] for i in range(nq))
-        v0 = tuple(qvel_ref[i, :] for i in range(nv))
-        a0 = tuple(act_ref[i, :] for i in range(na))
-        w0 = tuple(ws_ref[i, :] for i in range(nv))
-        t0 = time_ref[0, :]
+        if (any_noise or explore) and not interpret:
+            # per-(tile, chunk) PRNG stream for reset/exploration noise
+            pltpu.prng_seed(
+                seed_ref[0] + pl.program_id(0) * n_chunks + j
+            )
+
+        t_in = time_ref[0, :]
+
+        # chunk 0 initializes the carry in the OUTPUT blocks (their index
+        # maps ignore j, so Mosaic keeps them VMEM-resident across the
+        # whole chunk row for this tile); later chunks resume from them
+        @pl.when(j == 0)
+        def _init_carry():
+            for i in range(nq):
+                oq_ref[i, :] = qpos_ref[i, :]
+            for i in range(nv):
+                ov_ref[i, :] = qvel_ref[i, :]
+                ows_ref[i, :] = ws_ref[i, :]
+            for i in range(na_rows):
+                oa_ref[i, :] = act_ref[i, :]
+            if carry_qacc:
+                for i in range(nv):
+                    oqa_ref[i, :] = qa_ref[i, :]
+            ot_ref[0, :] = t_in
+            orew_ref[0, :] = jnp.zeros_like(t_in)
+            odiv_ref[0, :] = jnp.zeros_like(t_in)
+
+        q0 = tuple(oq_ref[i, :] for i in range(nq))
+        v0 = tuple(ov_ref[i, :] for i in range(nv))
+        a0 = tuple(oa_ref[i, :] for i in range(na))
+        w0 = tuple(ows_ref[i, :] for i in range(nv))
+        qa0 = (tuple(oqa_ref[i, :] for i in range(nv)) if carry_qacc
+               else ())
+        t0 = ot_ref[0, :]
         # exact step counter (t0 is always an exact multiple of h here)
         n0 = jnp.round(t0 * (1.0 / h)).astype(jnp.int32)
-        rew0 = jnp.zeros_like(t0)
-        div0 = jnp.zeros_like(n0)
+        rew0 = orew_ref[0, :]
+        div0 = odiv_ref[0, :]
 
         def mat_row(x):
             """Materialize a scalar-graph value as a (TILE,) lane vector."""
@@ -249,16 +335,23 @@ def build_rollout(
             return jax.random.normal(key, (count,) + t0.shape, dtype=t0.dtype)
 
         def body(k, carry):
-            q, v, a, w, n, rew, ndiv = carry
+            q, v, a, w, qa, n, rew, ndiv = carry
+            gk = j * k_chunk + k   # global step index (PRNG uniqueness)
 
             # ---- observe (pre-step state: the policy input) ----
             if hooks is not None and hooks.observe is not None and (
                     emit_obs or policy is not None):
+                okw = {}
                 if fk_fn is not None:
-                    obs_rows = hooks.observe(list(q), list(v),
-                                             fk=fk_fn(list(q)))
-                else:
-                    obs_rows = hooks.observe(list(q), list(v))
+                    okw["fk"] = fk_fn(list(q))
+                if needs_sensors:
+                    okw["sensordata"] = sens_fn(
+                        list(q), list(v),
+                        qacc=list(qa) if carry_qacc else None,
+                        time=n.astype(t0.dtype) * h,
+                        fk=okw.get("fk"),
+                    )
+                obs_rows = hooks.observe(list(q), list(v), **okw)
                 assert len(obs_rows) == n_obs, (len(obs_rows), n_obs)
                 obs_mat = jnp.stack([mat_row(o) for o in obs_rows])
             else:
@@ -276,7 +369,7 @@ def build_rollout(
                 cmat = x  # (nu, TILE)
                 if explore:
                     cmat = cmat + policy.explore_sigma * std_normals(
-                        nu, k, 13
+                        nu, gk, 13
                     )
                 c = tuple(cmat[u, :] for u in range(nu))
             else:
@@ -288,7 +381,14 @@ def build_rollout(
                 if policy is not None:
                     octrl_ref[k] = cmat
 
-            q, v, a, w = step(list(q), list(v), list(a), list(w), list(c))
+            if carry_qacc:
+                q, v, a, w, qacc1 = step(
+                    list(q), list(v), list(a), list(w), list(c)
+                )
+            else:
+                q, v, a, w = step(list(q), list(v), list(a), list(w),
+                                  list(c))
+                qacc1 = None
             n = n + 1
 
             if hooks is not None:
@@ -344,7 +444,8 @@ def build_rollout(
                 # interpret mode: threefry-based jax.random stream instead
                 # (statistically equivalent distributions)
                 key = jax.random.fold_in(
-                    jax.random.fold_in(jax.random.PRNGKey(7), seed_ref[0]), k
+                    jax.random.fold_in(jax.random.PRNGKey(7), seed_ref[0]),
+                    gk,
                 )
                 ku, kz = jax.random.split(key)
                 u = jax.random.uniform(
@@ -368,81 +469,108 @@ def build_rollout(
             v = tuple(jnp.where(done, v_reset[i], v[i]) for i in range(nv))
             a = tuple(jnp.where(done, 0.0, a[i]) for i in range(na))
             w = tuple(jnp.where(done, 0.0, w[i]) for i in range(nv))
+            if carry_qacc:
+                # reset lanes: qacc carry -> 0 (the general path's fresh
+                # make_data state; the boundary observation is never
+                # reported there, so this is unobservable in comparisons)
+                zero = jnp.zeros_like(t0)
+                qa = tuple(
+                    jnp.where(done, zero, qacc1[i]) for i in range(nv)
+                )
             n = jnp.where(done, 0, n)
-            return (q, v, a, w, n, rew, ndiv)
+            return (q, v, a, w, qa, n, rew, ndiv)
 
-        q, v, a, w, n, rew, ndiv = jax.lax.fori_loop(
-            0, k_steps, body, (q0, v0, a0, w0, n0, rew0, div0)
+        q, v, a, w, qa, n, rew, ndiv = jax.lax.fori_loop(
+            0, k_chunk, body, (q0, v0, a0, w0, qa0, n0, rew0, div0)
         )
+
         for i in range(nq):
             oq_ref[i, :] = q[i]
         for i in range(nv):
             ov_ref[i, :] = v[i]
             ows_ref[i, :] = w[i]
-        if na:
-            for i in range(na):
-                oa_ref[i, :] = a[i]
-        else:
-            oa_ref[0, :] = act_ref[0, :]
+        if carry_qacc:
+            for i in range(nv):
+                oqa_ref[i, :] = qa[i]
+        for i in range(na):
+            oa_ref[i, :] = a[i]
         ot_ref[0, :] = n.astype(t0.dtype) * h
         orew_ref[0, :] = rew
-        odiv_ref[0, :] = ndiv.astype(t0.dtype)
+        odiv_ref[0, :] = ndiv
 
-    grid = (batch // tile,)
+    # chunk index j is the FAST (innermost, sequential) grid dimension:
+    # for each env tile i, chunks run j = 0..n_chunks-1 in order, carrying
+    # state in the j-invariant output blocks
+    grid = (batch // tile, n_chunks)
 
     def spec(rows):
-        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+        return pl.BlockSpec((rows, tile), lambda i, j: (0, i),
                             memory_space=pltpu.VMEM)
 
     def traj_spec(rows):
-        return pl.BlockSpec((k_steps, rows, tile), lambda i: (0, 0, i),
+        return pl.BlockSpec((k_chunk, rows, tile), lambda i, j: (j, 0, i),
                             memory_space=pltpu.VMEM)
 
-    traj2_spec = pl.BlockSpec((k_steps, tile), lambda i: (0, i),
+    traj2_spec = pl.BlockSpec((k_chunk, tile), lambda i, j: (j, i),
                               memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def full_spec(arr_shape):
         # replicated (non-grid-mapped) input: policy weights
         nd = len(arr_shape)
-        return pl.BlockSpec(arr_shape, lambda i: (0,) * nd,
+        return pl.BlockSpec(arr_shape, lambda i, j: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
     # large models (humanoid: nv=27, ~5k live lane-vectors at the Cholesky /
     # Newton peak) exceed the default 16MB scoped-vmem stack; raise the
-    # Mosaic limit toward the physical VMEM size
+    # Mosaic limit toward the physical VMEM size.  The env-tile dimension
+    # is parallel; the K-chunk dimension is sequential (state carry).
     compiler_params = pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024
+        vmem_limit_bytes=100 * 1024 * 1024,
+        dimension_semantics=("parallel", "arbitrary"),
     )
 
-    def fn(qpos, qvel, act, ws, time, *rest):
+    n_state = 6 if carry_qacc else 5
+
+    def fn(*args):
+        state_in = args[:n_state]
+        rest = args[n_state:]
+        qpos = state_in[0]
         dtype = qpos.dtype
         in_specs = [spec(nq), spec(nv), spec(na_rows), spec(nv), spec(1)]
+        if carry_qacc:
+            in_specs.append(spec(nv))
         if policy is None:
             ctrl, seed = rest[0], rest[1]
             params_flat = rest[2:]
             in_specs.append(
-                pl.BlockSpec((k_steps, nu_rows, tile), lambda i: (0, 0, i),
+                pl.BlockSpec((k_chunk, nu_rows, tile),
+                             lambda i, j: (j, 0, i),
                              memory_space=pltpu.VMEM)
             )
-            inputs = (qpos, qvel, act, ws, time, ctrl, seed)
+            inputs = state_in + (ctrl, seed)
         else:
             seed = rest[0]
             params_flat = tuple(rest[1:])
             assert len(params_flat) == 2 * n_layers, len(params_flat)
-            inputs = (qpos, qvel, act, ws, time, seed) + params_flat
+            inputs = state_in + (seed,) + params_flat
         in_specs.append(seed_spec)
         for p in params_flat:
             in_specs.append(full_spec(p.shape))
 
-        out_specs = [spec(nq), spec(nv), spec(na_rows), spec(nv), spec(1),
-                     spec(1), spec(1)]
-        out_shape = [
+        state_specs = [spec(nq), spec(nv), spec(na_rows), spec(nv), spec(1)]
+        state_shapes = [
             jax.ShapeDtypeStruct((nq, batch), dtype),
             jax.ShapeDtypeStruct((nv, batch), dtype),
             jax.ShapeDtypeStruct((na_rows, batch), dtype),
             jax.ShapeDtypeStruct((nv, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
+        ]
+        if carry_qacc:
+            state_specs.append(spec(nv))
+            state_shapes.append(jax.ShapeDtypeStruct((nv, batch), dtype))
+        out_specs = state_specs + [spec(1), spec(1)]
+        out_shape = state_shapes + [
             jax.ShapeDtypeStruct((1, batch), dtype),
             jax.ShapeDtypeStruct((1, batch), dtype),
         ]
@@ -468,4 +596,4 @@ def build_rollout(
             compiler_params=None if interpret else compiler_params,
         )(*inputs)
 
-    return jax.jit(fn, donate_argnums=(0, 1, 2, 3, 4))
+    return jax.jit(fn, donate_argnums=tuple(range(n_state)))

@@ -73,11 +73,19 @@ def jit_rollout(benv: BatchedEnvironment, num_steps: int, donate: bool = True):
 
 def fast_rollout_supported(benv: BatchedEnvironment) -> bool:
     """True if (model, task) qualify for the Pallas rollout megakernel:
-    the model is in the scalar-graph class (ops/scalar_graph.supports) and
-    the task exposes in-kernel env hooks (reward on qpos/qvel/ctrl only)."""
+    the model is in the scalar-graph class (ops/scalar_graph.supports),
+    the task exposes in-kernel env hooks, and — for tasks whose
+    observation reads sensordata — every sensor is in the kernel family
+    (scalar_graph.sensors_supported)."""
     from ..ops import megakernel as mk
+    from ..ops import scalar_graph as sg
 
-    return mk.supports(benv.model) and hasattr(benv.task, "kernel_hooks")
+    if not (mk.supports(benv.model) and hasattr(benv.task, "kernel_hooks")):
+        return False
+    hooks = benv.task.kernel_hooks(benv.model)
+    if hooks.needs_sensors and not sg.sensors_supported(benv.model):
+        return False
+    return True
 
 
 class Trajectory:
@@ -160,6 +168,15 @@ class FastRollout:
                 "policy/trajectory collection needs the observation hook"
             )
         self.n_obs = hooks.n_obs
+        # accelerometer-family sensor observations carry the previous
+        # step's stage-1 qacc as a 6th kernel state element
+        from ..ops import scalar_graph as sg
+        from ..model import SensorType as _ST
+
+        self._carry_qacc = bool(hooks.needs_sensors) and any(
+            _ST(t) in sg._ACC_SENSORS for t in model.sensor_type
+        )
+        self._n_state = 6 if self._carry_qacc else 5
         n_shards = 1 if mesh is None else mesh.size
         assert b % n_shards == 0, (b, n_shards)
         b_local = b // n_shards
@@ -168,11 +185,9 @@ class FastRollout:
             model, b_local, steps_per_call, tile=tile, hooks=hooks,
             interpret=interpret, emit_obs=collect, policy=policy,
         )
-        n_state = 7
-        n_traj = (3 + (1 if policy is not None else 0)) if collect else 0
-        self._n_out = n_state + n_traj
+        n_state = self._n_state
 
-        def bundle(qpos, qvel, act, ws, time, rng, params):
+        def bundle(state, rng, params):
             if mesh is not None:
                 # per-device RNG stream: fold in the env-axis position
                 rng = jax.random.fold_in(
@@ -182,17 +197,18 @@ class FastRollout:
             seed = jax.random.randint(
                 k_seed, (1,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
             )
+            dtype = state[0].dtype
             if policy is None:
                 ctrl = jax.random.uniform(
                     k_ctrl, (steps_per_call, max(model.nu, 1), b_local),
-                    minval=-1.0, maxval=1.0, dtype=qpos.dtype,
+                    minval=-1.0, maxval=1.0, dtype=dtype,
                 )
-                return kernel(qpos, qvel, act, ws, time, ctrl, seed)
-            flat = [leaf.astype(qpos.dtype) for wb in params for leaf in wb]
-            return kernel(qpos, qvel, act, ws, time, seed, *flat)
+                return kernel(*state, ctrl, seed)
+            flat = [leaf.astype(dtype) for wb in params for leaf in wb]
+            return kernel(*state, seed, *flat)
 
         if mesh is None:
-            self._bundle = jax.jit(bundle, donate_argnums=(0, 1, 2, 3, 4))
+            self._bundle = jax.jit(bundle, donate_argnums=(0,))
         else:
             from jax.sharding import PartitionSpec as P
 
@@ -201,7 +217,7 @@ class FastRollout:
             # trajectories: env axis is last
             traj3 = P(None, None, axis)
             traj2 = P(None, axis)
-            out = [col] * 7
+            out = [col] * (n_state + 2)
             if collect:
                 out += [traj3, traj2, traj2]
                 if policy is not None:
@@ -210,11 +226,11 @@ class FastRollout:
             # every (W, b) leaf
             sharded = jax.shard_map(
                 bundle, mesh=mesh,
-                in_specs=(col, col, col, col, col, P(), P()),
+                in_specs=((col,) * n_state, P(), P()),
                 out_specs=tuple(out),
                 check_vma=False,
             )
-            self._bundle = jax.jit(sharded, donate_argnums=(0, 1, 2, 3, 4))
+            self._bundle = jax.jit(sharded, donate_argnums=(0,))
 
     def init_params(self, rng: jax.Array, dtype=None):
         """Xavier-init policy parameters (list of (W, b) pairs)."""
@@ -236,18 +252,23 @@ class FastRollout:
 
     def pack(self, data: Data):
         """Data pytree (env-major) -> kernel state (coordinate-major);
-        na == 0 models carry one zero act row (see megakernel docstring)."""
+        na == 0 models carry one zero act row (see megakernel docstring).
+        Sensor-observing rollouts additionally carry ``data.qacc`` (the
+        acceleration the accelerometer family reads)."""
         b = data.qpos.shape[0]
         act = data.act.T
         if act.shape[0] == 0:
             act = jnp.zeros((1, b), dtype=data.qpos.dtype)
-        return (
+        state = (
             data.qpos.T,
             data.qvel.T,
             act,
             data.qacc_warmstart.T,
             data.time[None, :],
         )
+        if self._carry_qacc:
+            state = state + (data.qacc.T,)
+        return state
 
     def run(self, state, rng: jax.Array, params=None):
         """One K-step kernel call.
@@ -255,11 +276,11 @@ class FastRollout:
         Returns ``(new_state, Trajectory)``.  ``params`` (from
         :meth:`init_params`) is required when the rollout carries an
         in-kernel policy, ignored otherwise."""
-        out = self._bundle(*state, rng, params)
-        qpos, qvel, act, ws, time, rew, div = out[:7]
-        traj = Trajectory(reward_sum=rew[0], diverged=div[0])
+        out = self._bundle(tuple(state), rng, params)
+        ns = self._n_state
+        traj = Trajectory(reward_sum=out[ns][0], diverged=out[ns + 1][0])
         if self.collect:
-            traj.obs, traj.rewards, traj.dones = out[7:10]
+            traj.obs, traj.rewards, traj.dones = out[ns + 2:ns + 5]
             if self.policy is not None:
-                traj.ctrls = out[10]
-        return (qpos, qvel, act, ws, time), traj
+                traj.ctrls = out[ns + 5]
+        return tuple(out[:ns]), traj

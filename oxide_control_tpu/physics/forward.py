@@ -26,6 +26,7 @@ def fwd_position(model: Model, d: Data) -> Data:
     kinematics -> com quantities -> CRB inertia -> collision."""
     d = smooth.kinematics(model, d)
     d = smooth.com_pos(model, d)
+    d = smooth.cam_light(model, d)
     d = smooth.crb(model, d)
     d = _collision.collision(model, d)
     d = _sensor.sensor_pos(model, d)
@@ -62,6 +63,27 @@ def forward(model: Model, d: Data) -> Data:
     d = fwd_acceleration(model, d)
     d = fwd_constraint(model, d)
     d = _sensor.sensor_acc(model, d)
+    return d
+
+
+def sensor_refresh(model: Model, d: Data) -> Data:
+    """Refresh sensordata at the CURRENT state (the dm_control
+    lazy-mj_forward idiom, extended to sensors): pos/vel-stage sensors
+    re-evaluate fresh; the kinematic acc-stage family (accelerometer /
+    frameacc) re-evaluates at the current pose with ``d.qacc`` (the last
+    solve — zero right after reset); force-stage sensors keep their
+    in-step values.  Requires kinematics to be current (smooth.kinematics).
+    The megakernel mirrors these semantics exactly
+    (ops/scalar_graph.build_sensors), so sensor observations agree
+    element for element across paths."""
+    if not model.nsensor:
+        return d
+    d = smooth.com_pos(model, d)
+    d = smooth.cam_light(model, d)
+    d = _sensor.sensor_pos(model, d)
+    d = smooth.com_vel(model, d)
+    d = _sensor.sensor_vel(model, d)
+    d = _sensor.sensor_acc(model, d, kinematic_only=True)
     return d
 
 

@@ -420,23 +420,33 @@ def sensor_pos(model: Model, d: Data) -> Data:
         elif st == SensorType.INSIDESITE:
             val = _insidesite_sensor(model, d, i, dtype)[None]
         elif st == SensorType.CAMPROJECTION:
-            # pixel coordinates of the target site through a fixed camera
-            # (mjSENS_CAMPROJECTION; formula verified exactly vs MuJoCo):
-            # t = R_cam^T (p - c); x = -t0/t2 * f + W/2, y = t1/t2 * f +
-            # H/2 with f = H / (2 tan(fovy/2)) — the camera looks along -z
+            # pixel coordinates of the target site through a camera
+            # (mjSENS_CAMPROJECTION; both projection models verified
+            # exactly vs MuJoCo): t = R_cam^T (p - c);
+            # x = -t0/t2 * fx + W/2, y = t1/t2 * fy + H/2 with
+            # fovy model:       fx = fy = H / (2 tan(fovy/2))
+            # intrinsics model: fx = focal_x / sensorsize_x * W (same y);
+            # the principal-point entries of cam_intrinsic are NOT used by
+            # the sensor (verified: principal="0.001 -0.002" leaves the
+            # projection centered).  Camera pose from cam_xpos/cam_xmat,
+            # so tracking/target cameras project correctly.
             cid = model.sensor_refid[i]
-            b = model.cam_bodyid[cid]
-            cpos = d.xpos[b] + d.xmat[b] @ model.cam_pos[cid]
-            cmat = d.xmat[b] @ maths.quat_to_mat(model.cam_quat[cid])
+            cpos = d.cam_xpos[cid]
+            cmat = d.cam_xmat[cid]
             t = cmat.T @ (d.site_xpos[oid] - cpos)
             w_res, h_res = model.cam_resolution[cid]
-            fovy = model.cam_fovy[cid]
-            focal = 0.5 * h_res / jnp.tan(
-                fovy * (jnp.pi / 180.0) * 0.5
-            )
+            ssx, ssy = model.cam_sensorsize[cid]
+            if ssx != 0.0 or ssy != 0.0:
+                fx = model.cam_intrinsic[cid][0] / ssx * w_res
+                fy = model.cam_intrinsic[cid][1] / ssy * h_res
+            else:
+                fovy = model.cam_fovy[cid]
+                fx = fy = 0.5 * h_res / jnp.tan(
+                    fovy * (jnp.pi / 180.0) * 0.5
+                )
             val = jnp.stack([
-                -t[0] / t[2] * focal + 0.5 * w_res,
-                t[1] / t[2] * focal + 0.5 * h_res,
+                -t[0] / t[2] * fx + 0.5 * w_res,
+                t[1] / t[2] * fy + 0.5 * h_res,
             ])
         elif st == SensorType.USER:
             # no mjcb_sensor analog: user sensors stay zero (matches
@@ -520,27 +530,39 @@ def sensor_vel(model: Model, d: Data) -> Data:
     return d.replace(sensordata=sd)
 
 
-def sensor_acc(model: Model, d: Data) -> Data:
+def sensor_acc(model: Model, d: Data, kinematic_only: bool = False) -> Data:
     """Acceleration/force-stage sensors (mj_sensorAcc analog).  Runs after
-    the constraint solve, reading the constrained ``qacc``."""
+    the constraint solve, reading the constrained ``qacc``.
+
+    ``kinematic_only=True`` re-evaluates just the kinematic acc family
+    (accelerometer / framelinacc / frameangacc) — used by the env layer's
+    post-step sensor refresh, where force-stage sensors must keep the
+    values tied to the step's constraint solve."""
     if not _has_stage(model, _ACC):
         return d
     dtype = d.qpos.dtype
     sd = d.sensordata
+    _KINEMATIC_ACC = (SensorType.ACCELEROMETER, SensorType.FRAMELINACC,
+                      SensorType.FRAMEANGACC)
+    if kinematic_only and not _has_stage(model, _KINEMATIC_ACC):
+        return d
     cacc = None
-    if _has_stage(model, (SensorType.ACCELEROMETER, SensorType.FRAMELINACC,
-                          SensorType.FRAMEANGACC, SensorType.FORCE,
-                          SensorType.TORQUE)):
+    if _has_stage(model, _KINEMATIC_ACC) or (
+            not kinematic_only
+            and _has_stage(model, (SensorType.FORCE, SensorType.TORQUE))):
         cacc = _cacc(model, d)
     cfrc_int = None
-    if _has_stage(model, (SensorType.FORCE, SensorType.TORQUE)):
+    if not kinematic_only and _has_stage(
+            model, (SensorType.FORCE, SensorType.TORQUE)):
         cfrc_int = _cfrc_int(model, d, cacc)
     touch = None
-    if _has_stage(model, (SensorType.TOUCH,)):
+    if not kinematic_only and _has_stage(model, (SensorType.TOUCH,)):
         touch = _touch_forces(model, d)
     for i in range(model.nsensor):
         st = SensorType(model.sensor_type[i])
         if st not in _ACC:
+            continue
+        if kinematic_only and st not in _KINEMATIC_ACC:
             continue
         adr = model.sensor_adr[i]
         oid = model.sensor_objid[i]

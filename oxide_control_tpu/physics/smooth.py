@@ -580,6 +580,58 @@ def crb(model: Model, d: Data) -> Data:
 
 
 # ---------------------------------------------------------------------------
+def camera_lookat_mat(pos, target, xp=jnp):
+    """Orientation of a target-mode camera (mj_camlight look-at): camera
+    -z axis points at ``target``; x chosen orthogonal to world z (the
+    verified MuJoCo construction: z = normalize(pos - target),
+    x = normalize(cross(world_z, z)), y = z x x).  Returns a 3x3 matrix
+    with columns (x, y, z)."""
+    vec = pos - target
+    z = vec / xp.maximum(xp.linalg.norm(vec), 1e-15)
+    up = xp.array([0.0, 0.0, 1.0], dtype=z.dtype)
+    x = xp.cross(up, z)
+    xn = xp.linalg.norm(x)
+    # degenerate (camera directly above/below target): any horizontal x
+    alt = xp.array([1.0, 0.0, 0.0], dtype=z.dtype)
+    x = xp.where(xn > 1e-9, x / xp.maximum(xn, 1e-15), alt)
+    y = xp.cross(z, x)
+    return xp.stack([x, y, z], axis=-1)
+
+
+def cam_light(model: Model, d: Data) -> Data:
+    """Camera poses per mode (mj_camlight analog): fixed / track /
+    trackcom / targetbody / targetbodycom.  Track modes ride the
+    compile-time qpos0 offsets (cam_pos0 / cam_poscom0 / cam_mat0);
+    target modes re-aim at the target body every step."""
+    from ..model import CamMode
+
+    if not model.ncam:
+        return d
+    dtype = d.qpos.dtype
+    poss, mats = [], []
+    for i in range(model.ncam):
+        mode = CamMode(model.cam_mode[i])
+        b = model.cam_bodyid[i]
+        if mode == CamMode.TRACK:
+            pos = d.xpos[b] + jnp.asarray(model.cam_pos0[i], dtype=dtype)
+            mat = jnp.asarray(model.cam_mat0[i], dtype=dtype)
+        elif mode == CamMode.TRACKCOM:
+            pos = d.subtree_com[b] + jnp.asarray(model.cam_poscom0[i],
+                                                 dtype=dtype)
+            mat = jnp.asarray(model.cam_mat0[i], dtype=dtype)
+        else:  # FIXED / TARGETBODY / TARGETBODYCOM: rigid position
+            pos = d.xpos[b] + d.xmat[b] @ model.cam_pos[i]
+            mat = d.xmat[b] @ maths.quat_to_mat(model.cam_quat[i])
+            if mode in (CamMode.TARGETBODY, CamMode.TARGETBODYCOM):
+                tb = model.cam_targetbodyid[i]
+                target = (d.xpos[tb] if mode == CamMode.TARGETBODY
+                          else d.subtree_com[tb])
+                mat = camera_lookat_mat(pos, target)
+        poss.append(pos)
+        mats.append(mat)
+    return d.replace(cam_xpos=jnp.stack(poss), cam_xmat=jnp.stack(mats))
+
+
 # mj_comVel analog: cvel, cdof_dot
 # ---------------------------------------------------------------------------
 

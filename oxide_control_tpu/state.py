@@ -71,6 +71,8 @@ class Data:
     geom_xmat: jax.Array       # (ngeom, 3, 3)
     site_xpos: jax.Array       # (nsite, 3)
     site_xmat: jax.Array       # (nsite, 3, 3)
+    cam_xpos: jax.Array        # (ncam, 3)
+    cam_xmat: jax.Array        # (ncam, 3, 3)
     subtree_com: jax.Array     # (nbody, 3)
     cinert_i: jax.Array        # (nbody, 3, 3) spatial inertia (rot part)
     cinert_h: jax.Array        # (nbody, 3)    spatial inertia (m * com offset)
@@ -196,6 +198,8 @@ def make_data(model: Model) -> Data:
         geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (model.ngeom, 3, 3)),
         site_xpos=z(model.nsite, 3),
         site_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (model.nsite, 3, 3)),
+        cam_xpos=z(model.ncam, 3),
+        cam_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (model.ncam, 3, 3)),
         subtree_com=z(nbody, 3),
         cinert_i=z(nbody, 3, 3),
         cinert_h=z(nbody, 3),

@@ -59,3 +59,50 @@ def randomize_limited_joints(model: Model, qpos, rng, fraction=1.0):
         val = mid + uniform(keys[j], -half, half)
         qpos = qpos.at[adr].set(jnp.asarray(val, dtype=qpos.dtype))
     return qpos
+
+
+class SensorObsWrapper:
+    """Task wrapper appending the model's sensordata to the observation on
+    BOTH paths: ``data.sensordata`` (refreshed post-step by the env layer,
+    api/environment.py) on the general path, and the in-kernel sensor rows
+    (scalar_graph.build_sensors via ``EnvHooks.needs_sensors``) on the
+    megakernel path — the normal way real-robot tasks consume IMU/touch/
+    frame sensors (VERDICT r4 next #2).
+
+    Requires the base task to expose ``kernel_hooks`` for the fast path;
+    every sensor on the model must be in the kernel family
+    (scalar_graph.sensors_supported) or FastRollout falls back loudly.
+    """
+
+    def __init__(self, base):
+        self._base = base
+
+    def __getattr__(self, name):
+        return getattr(self._base, name)
+
+    def observe(self, model, data):
+        return jnp.concatenate([
+            self._base.observe(model, data), data.sensordata
+        ])
+
+    def kernel_hooks(self, model):
+        import dataclasses as _dc
+        import inspect
+
+        base_hooks = self._base.kernel_hooks(model)
+        base_obs = base_hooks.observe
+        base_params = set(
+            inspect.signature(base_obs).parameters
+        ) if base_obs is not None else set()
+
+        def observe(q, v, sensordata, **kw):
+            passthrough = {k: w for k, w in kw.items() if k in base_params}
+            rows = base_obs(q, v, **passthrough) if base_obs else []
+            return list(rows) + list(sensordata)
+
+        return _dc.replace(
+            base_hooks,
+            observe=observe,
+            n_obs=base_hooks.n_obs + model.nsensordata,
+            needs_sensors=True,
+        )

@@ -490,3 +490,228 @@ def test_free_joint_megakernel_interpret():
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(qvel_o).T, np.asarray(d.qvel),
                                rtol=0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel sensors (VERDICT r4 next #2)
+# ---------------------------------------------------------------------------
+
+_SENSOR_XML = """
+<mujoco>
+  <option timestep="0.01" solver="Newton" iterations="4" tolerance="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 .1"/>
+    <body name="torso" pos="0 0 0.5">
+      <joint name="z" type="slide" axis="0 0 1"/>
+      <joint name="tilt" type="hinge" axis="0 1 0" range="-1 1"
+             limited="true"/>
+      <geom name="b" type="sphere" size="0.15" mass="1"/>
+      <site name="imu" pos="0.05 0 0.1"/>
+      <body name="arm" pos="0.2 0 0">
+        <joint name="elbow" type="hinge" axis="0 1 0" damping="0.02"/>
+        <geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.04" mass="0.3"/>
+        <site name="tip" pos="0.2 0 0"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <fixed name="coupler">
+      <joint joint="tilt" coef="0.7"/>
+      <joint joint="elbow" coef="-0.3"/>
+    </fixed>
+  </tendon>
+  <actuator>
+    <motor name="lift" joint="z" gear="10"/>
+    <motor name="bend" joint="elbow" gear="1"/>
+  </actuator>
+  <sensor>
+    <jointpos joint="tilt"/>
+    <jointvel joint="elbow"/>
+    <tendonpos tendon="coupler"/>
+    <tendonvel tendon="coupler"/>
+    <actuatorpos actuator="lift"/>
+    <gyro site="imu"/>
+    <velocimeter site="imu"/>
+    <accelerometer site="imu"/>
+    <magnetometer site="imu"/>
+    <framepos objtype="site" objname="tip"/>
+    <framequat objtype="body" objname="arm"/>
+    <framezaxis objtype="site" objname="imu"/>
+    <framelinvel objtype="site" objname="tip"/>
+    <frameangvel objtype="body" objname="arm"/>
+    <framelinvel objtype="site" objname="tip" reftype="site" refname="imu"/>
+    <framepos objtype="site" objname="tip" reftype="site" refname="imu"/>
+  </sensor>
+</mujoco>
+"""
+
+
+def _sensor_model():
+    return load_model_from_xml(_SENSOR_XML, dtype=np.float64)
+
+
+def test_build_sensors_matches_forward():
+    """scalar_graph.build_sensors == physics sensordata after forward()
+    at the same state (same qacc), element for element."""
+    from oxide_control_tpu.ops import scalar_graph as sg
+    from oxide_control_tpu.physics import forward as fwd
+    from oxide_control_tpu.state import make_data
+
+    model = _sensor_model()
+    assert sg.sensors_supported(model)
+    rng = np.random.default_rng(3)
+    sens_fn = sg.build_sensors(model)
+    for trial in range(4):
+        d = make_data(model)
+        d = d.replace(
+            qpos=jnp.asarray(rng.uniform(-0.4, 0.4, model.nq)),
+            qvel=jnp.asarray(rng.uniform(-2.0, 2.0, model.nv)),
+        )
+        d = jax.jit(lambda dd: fwd.forward(model, dd))(d)
+        rows = sens_fn(
+            [d.qpos[i] for i in range(model.nq)],
+            [d.qvel[i] for i in range(model.nv)],
+            qacc=[d.qacc[i] for i in range(model.nv)],
+            time=d.time,
+        )
+        got = np.array([float(np.asarray(r)) for r in rows])
+        np.testing.assert_allclose(
+            got, np.asarray(d.sensordata), rtol=0, atol=1e-10,
+            err_msg=f"trial {trial}",
+        )
+
+
+def test_megakernel_sensor_obs_parity():
+    """A task observing sensordata (SensorObsWrapper) rides the kernel
+    with the IMU/frame sensor rows computed in-kernel, matching the
+    general path element for element — including across auto-reset
+    boundaries (both paths: pos/vel sensors fresh at the reset state,
+    accelerometer-family reading the zeroed qacc)."""
+    from oxide_control_tpu.parallel import rollout as rmod
+    from oxide_control_tpu.suite.common import SensorObsWrapper
+
+    model = load_model_from_xml(_SENSOR_XML, dtype=np.float32)
+
+    class _Task(_HopTask):
+        time_limit = 0.15  # forces auto-resets inside the window
+
+    task = SensorObsWrapper(_Task())
+    B, K = 8, 24
+    benv = BatchedEnvironment(model, task, B)
+    assert rmod.fast_rollout_supported(benv)
+    n_obs = model.nq + model.nv + model.nsensordata
+
+    data, obs0 = jax.jit(benv.reset)(jax.random.PRNGKey(0))
+
+    ctrl = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (K, B, model.nu),
+                           minval=-1.0, maxval=1.0, dtype=jnp.float32)
+    )
+
+    # ----- general path: pre-step obs (incl. sensordata) per step -----
+    d = data
+    obs_pre = np.zeros((K, n_obs, B), np.float32)
+    done_steps = np.zeros((K, B), np.float32)
+    step_j = jax.jit(benv.step)
+    obs_fn = jax.jit(jax.vmap(lambda dd: task.observe(model, dd)))
+    for k in range(K):
+        obs_pre[k] = np.asarray(obs_fn(d)).T
+        d, ts = step_j(d, jnp.asarray(ctrl[k]), jax.random.PRNGKey(2))
+        done_steps[k] = np.asarray(ts.done, np.float32)
+    assert done_steps.sum() > 0, "window must cross a reset boundary"
+
+    # ----- megakernel (interpret mode) -----
+    hooks = task.kernel_hooks(model)
+    assert hooks.needs_sensors and hooks.n_obs == n_obs
+    kernel = mk.build_rollout(model, B, K, tile=B, hooks=hooks,
+                              interpret=True, emit_obs=True)
+    state = (
+        jnp.asarray(data.qpos.T, jnp.float32),
+        jnp.asarray(data.qvel.T, jnp.float32),
+        jnp.zeros((1, B), jnp.float32),
+        jnp.asarray(data.qacc_warmstart.T, jnp.float32),
+        jnp.asarray(data.time[None, :], jnp.float32),
+        jnp.asarray(data.qacc.T, jnp.float32),  # accelerometer carry
+    )
+    ctrl_cm = jnp.asarray(ctrl.transpose(0, 2, 1))
+    seed = jnp.zeros((1,), jnp.int32)
+    out = kernel(*state, ctrl_cm, seed)
+    obs_k, rews_k, dones_k = out[8:11]
+
+    np.testing.assert_allclose(np.asarray(obs_k), obs_pre, rtol=0,
+                               atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(dones_k), done_steps)
+    # final core state still matches
+    np.testing.assert_allclose(np.asarray(out[0]).T, np.asarray(d.qpos),
+                               rtol=0, atol=1e-4)
+
+
+def test_fast_rollout_sensor_task_end_to_end():
+    """FastRollout with a sensor-observing task: state packing carries
+    qacc, trajectories flow, and the non-kernel sensor family falls back
+    loudly (fast_rollout_supported False)."""
+    from oxide_control_tpu.parallel import rollout as rmod
+    from oxide_control_tpu.suite.common import SensorObsWrapper
+
+    model = load_model_from_xml(_SENSOR_XML, dtype=np.float32)
+    task = SensorObsWrapper(_HopTask())
+    benv = BatchedEnvironment(model, task, 8)
+    roll = rmod.FastRollout(benv, steps_per_call=5, tile=8, interpret=True,
+                            collect=True)
+    assert roll._carry_qacc and roll._n_state == 6
+    state = roll.init(jax.random.PRNGKey(0))
+    assert len(state) == 6
+    state, traj = roll.run(state, jax.random.PRNGKey(1))
+    assert traj.obs.shape == (5, task.kernel_hooks(model).n_obs, 8)
+    assert np.all(np.isfinite(np.asarray(traj.obs)))
+
+    # rangefinder is outside the kernel sensor family -> general path only
+    xml_rf = _SENSOR_XML.replace(
+        '<actuatorpos actuator="lift"/>',
+        '<rangefinder site="imu"/>')
+    model_rf = load_model_from_xml(xml_rf, dtype=np.float32)
+    benv_rf = BatchedEnvironment(model_rf, SensorObsWrapper(_HopTask()), 8)
+    assert not rmod.fast_rollout_supported(benv_rf)
+
+
+def test_megakernel_chunked_trajectory_streaming():
+    """With a tiny trajectory VMEM budget the kernel runs the rollout as
+    sequential K-chunks over a second grid dimension (state carried in the
+    j-invariant output blocks, trajectory blocks streamed to HBM per
+    chunk) — results must be IDENTICAL to the single-chunk kernel
+    (VERDICT r4 next #5)."""
+    model = load_model_from_xml(_XML, dtype=np.float32)
+    task = _HopTask()
+    B, K = 8, 24
+
+    benv = BatchedEnvironment(model, task, B)
+    data, _ = jax.jit(benv.reset)(jax.random.PRNGKey(0))
+    state0 = (
+        jnp.asarray(data.qpos.T, jnp.float32),
+        jnp.asarray(data.qvel.T, jnp.float32),
+        jnp.zeros((1, B), jnp.float32),
+        jnp.asarray(data.qacc_warmstart.T, jnp.float32),
+        jnp.asarray(data.time[None, :], jnp.float32),
+    )
+    ctrl = jax.random.uniform(jax.random.PRNGKey(1), (K, model.nu, B),
+                              minval=-1.0, maxval=1.0, dtype=jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+    hooks = task.kernel_hooks(model)
+
+    big = mk.build_rollout(model, B, K, tile=B, hooks=hooks,
+                           interpret=True, emit_obs=True)
+    # budget fits exactly 4 steps of (ctrl + obs + rew + done) rows
+    per_step = model.nu + (model.nq + model.nv) + 2
+    small = mk.build_rollout(model, B, K, tile=B, hooks=hooks,
+                             interpret=True, emit_obs=True,
+                             traj_budget_bytes=per_step * 4 * B * 4)
+    def fresh():
+        # donated state: each call needs its own copies
+        return tuple(jnp.array(x) for x in state0)
+
+    out_a = big(*fresh(), ctrl, seed)
+    out_b = small(*fresh(), ctrl, seed)
+    assert len(out_a) == len(out_b) == 10
+    for xa, xb in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=0, atol=0)

@@ -518,7 +518,7 @@ def test_supports_documented_rejections():
         joint='<joint name="bj" type="ball"/>',
         extra='<actuator><motor joint="bj" gear="1 0 0"/></actuator>',
     ))
-    # box-box pair outside the supported contact list
+    # box-box pairs joined the supported contact list in r5 (SAT+clip)
     xml_bb = """
     <mujoco>
       <option solver="Newton" iterations="4"/>
@@ -534,7 +534,11 @@ def test_supports_documented_rejections():
       </worldbody>
     </mujoco>
     """
-    assert not sg.supports(load_model_from_xml(xml_bb))
+    assert sg.supports(load_model_from_xml(xml_bb))
+    # box-cylinder stays outside the class
+    assert not sg.supports(load_model_from_xml(xml_bb.replace(
+        '<geom type="box" size="0.1 0.1 0.1" mass="1"/>',
+        '<geom type="cylinder" size="0.1 0.1" mass="1"/>', 1)))
     # statically inactive equality (kernel carries no eq_active state)
     xml_eq = _EQ_XML.replace(
         '<connect body1="link2" body2="anchor" anchor="0.4 0 0"/>',
@@ -826,3 +830,115 @@ def test_condim46_scalar_graph():
         qp = np.stack([np.asarray(x) for x in q_l], axis=1)
         err = max(err, float(np.max(np.abs(qp - np.asarray(dB.qpos)))))
     assert err < 1e-6, err
+
+
+def test_spatial_tendon_scalar_graph():
+    """Spatial tendons in the kernel class (VERDICT r4 next #3): site-
+    routed path with spring/damper/limit/frictionloss and a tendon-
+    transmission actuator steps on the scalar graph with general-path
+    parity."""
+    from oxide_control_tpu.mjcf.compile import load_model_from_xml
+    from test_golden import SPATIAL_TENDON_XML
+
+    m = load_model_from_xml(SPATIAL_TENDON_XML)
+    assert sg.supports(m)
+    _parity_rollout(m, nsteps=15, seed=5, tol=1e-7)
+
+
+def test_spatial_tendon_pulley_scalar_graph():
+    """Pulley divisors on the scalar graph."""
+    from oxide_control_tpu.mjcf.compile import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="20"
+              tolerance="0"/>
+      <worldbody>
+        <site name="a0" pos="-0.3 0 1.2"/>
+        <site name="a1" pos="0.3 0 1.2"/>
+        <body name="b1" pos="-0.3 0 1">
+          <joint name="s1" type="slide" axis="0 0 1" damping="0.2"/>
+          <geom type="sphere" size="0.05" mass="0.5"/>
+          <site name="p1" pos="0 0 0.05"/>
+        </body>
+        <body name="b2" pos="0.3 0 1">
+          <joint name="s2" type="slide" axis="0 0 1" damping="0.2"/>
+          <geom type="sphere" size="0.05" mass="0.8"/>
+          <site name="p2" pos="0 0 0.05"/>
+        </body>
+      </worldbody>
+      <tendon>
+        <spatial name="rope" stiffness="30" springlength="0.3" damping="1">
+          <site site="p1"/>
+          <site site="a0"/>
+          <pulley divisor="2"/>
+          <site site="a1"/>
+          <site site="p2"/>
+        </spatial>
+      </tendon>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert sg.supports(m)
+    _parity_rollout(m, nsteps=15, seed=6, tol=1e-8)
+
+
+def test_tendon_wrap_scalar_graph():
+    """Sphere + cylinder wrap geoms with sidesites: the scalar mju_wrap
+    twin drives lengths/moments inside the step with general-path parity
+    (the muscle+wrapped-tendon arm class, VERDICT r4 next #3)."""
+    from oxide_control_tpu.mjcf.compile import load_model_from_xml
+    from test_golden import WRAP_ARM_XML
+
+    m = load_model_from_xml(WRAP_ARM_XML)
+    assert sg.supports(m)
+    _parity_rollout(m, nsteps=15, seed=7, tol=1e-7)
+
+
+def test_muscle_wrapped_tendon_scalar_graph():
+    """Muscle actuator on a WRAPPED spatial tendon — the combination the
+    r4 compiler work enabled — runs in-kernel with parity."""
+    from oxide_control_tpu.mjcf.compile import load_model_from_xml
+    from test_golden import WRAP_ARM_XML
+
+    xml = WRAP_ARM_XML.replace(
+        '<motor name="pull" tendon="string" gear="1.5" ctrlrange="-1 1"/>',
+        '<muscle name="pull" tendon="string" ctrlrange="0 1" '
+        'lengthrange="0.3 0.7"/>',
+    )
+    m = load_model_from_xml(xml)
+    assert sg.supports(m) and m.na == 1
+    _parity_rollout(m, nsteps=15, seed=8, tol=1e-7)
+
+
+def test_box_box_scalar_graph():
+    """Box-box SAT + face-clip narrowphase in the kernel class (VERDICT
+    r4 next #7): a 2-box stack on a plane (face-face and corner-tilted
+    configurations) steps on the scalar graph with general-path parity."""
+    from oxide_control_tpu.mjcf.compile import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option timestep="0.005" solver="Newton" iterations="12"
+              tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body name="b1" pos="0 0 0.1">
+          <freejoint/>
+          <geom name="g1" type="box" size="0.1 0.12 0.1" mass="1"/>
+        </body>
+        <body name="b2" pos="0.03 0.02 0.31">
+          <freejoint/>
+          <geom name="g2" type="box" size="0.08 0.07 0.1" mass="0.6"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert sg.supports(m)
+    from oxide_control_tpu.model import GeomType as GT
+
+    assert any((GT(a), GT(b)) == (GT.BOX, GT.BOX)
+               for (a, b, _) in m.pair_groups)
+    # small qvel noise, boxes settle into face-face stacking + tilts
+    _parity_rollout(m, nsteps=20, seed=11, tol=2e-6, tol_v=None)

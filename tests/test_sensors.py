@@ -372,3 +372,97 @@ def test_camprojection_golden():
     """
     ref, mjd, ours = rollout_sensordata(xml, 150, seed=17)
     _assert_sensors_close(ref, mjd, ours, 1e-7)
+
+
+def test_camera_modes_golden():
+    """Camera modes (track / trackcom / targetbody / targetbodycom) and
+    explicit intrinsics (focal/sensorsize, focalpixel): cam_xpos/cam_xmat
+    and camprojection pixels vs MuJoCo over a rollout (VERDICT r4 next
+    #10)."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002"/>
+      <worldbody>
+        <body name="b" pos="0.2 0.1 0.5" euler="10 20 30">
+          <joint type="free"/>
+          <geom type="sphere" size="0.1" mass="1"/>
+          <camera name="cfix" mode="fixed" pos="0.1 0.2 0.3" euler="5 10 15"
+                  resolution="640 480"/>
+          <camera name="ctrack" mode="track" pos="0.1 0.2 0.3"
+                  euler="5 10 15" resolution="640 480"/>
+          <camera name="ctrackcom" mode="trackcom" pos="0.1 0.2 0.3"
+                  euler="5 10 15" resolution="640 480"/>
+          <camera name="ctb" mode="targetbody" target="t" pos="0.1 0.2 0.3"
+                  resolution="640 480"/>
+          <camera name="ctbc" mode="targetbodycom" target="t"
+                  pos="0.1 0.2 0.3" resolution="640 480"/>
+          <camera name="cintr" mode="fixed" pos="0.1 0.2 0.3"
+                  euler="5 10 15" resolution="640 480"
+                  focal="0.008 0.009" sensorsize="0.036 0.024"
+                  principal="0.001 -0.002"/>
+          <camera name="cfpix" mode="fixed" pos="0.1 0.2 0.3"
+                  euler="5 10 15" resolution="640 480"
+                  focalpixel="600 610" sensorsize="0.036 0.024"/>
+          <body name="inner" pos="0.3 0 0">
+            <geom type="sphere" size="0.05" mass="0.2"/>
+          </body>
+        </body>
+        <body name="t" pos="1 2 0.3">
+          <joint type="free"/>
+          <geom type="box" size="0.1 0.1 0.1" mass="1"/>
+          <site name="ts" pos="0.05 0 0.1"/>
+          <body name="tinner" pos="0.5 0 0">
+            <geom type="sphere" size="0.05" mass="3"/>
+          </body>
+        </body>
+      </worldbody>
+      <sensor>
+        <camprojection site="ts" camera="cfix"/>
+        <camprojection site="ts" camera="ctrack"/>
+        <camprojection site="ts" camera="ctrackcom"/>
+        <camprojection site="ts" camera="ctb"/>
+        <camprojection site="ts" camera="ctbc"/>
+        <camprojection site="ts" camera="cintr"/>
+        <camprojection site="ts" camera="cfpix"/>
+      </sensor>
+    </mujoco>
+    """
+    ref = mujoco.MjModel.from_xml_string(xml)
+    m = load_model_from_xml(xml)
+
+    # compile-time constants
+    np.testing.assert_allclose(np.asarray(m.cam_pos0), ref.cam_pos0,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(m.cam_poscom0), ref.cam_poscom0,
+                               atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(m.cam_mat0), ref.cam_mat0.reshape(-1, 3, 3), atol=1e-12
+    )
+
+    rd = mujoco.MjData(ref)
+    d = make_data(m)
+    rng = np.random.default_rng(29)
+    fwd_j = jax.jit(lambda dd: fwd.forward(m, dd))
+    for trial in range(5):
+        qpos = np.array(ref.qpos0, dtype=np.float64)
+        qpos[:3] += rng.uniform(-0.5, 0.5, 3)
+        qpos[3:7] = rng.normal(size=4)
+        qpos[3:7] /= np.linalg.norm(qpos[3:7])
+        qpos[7:10] += rng.uniform(-0.5, 0.5, 3)
+        qpos[10:14] = rng.normal(size=4)
+        qpos[10:14] /= np.linalg.norm(qpos[10:14])
+        rd.qpos[:] = qpos
+        mujoco.mj_forward(ref, rd)
+        dd = fwd_j(d.replace(qpos=jnp.asarray(qpos)))
+        np.testing.assert_allclose(
+            np.asarray(dd.cam_xpos), rd.cam_xpos, atol=1e-9,
+            err_msg=f"cam_xpos trial {trial}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(dd.cam_xmat), rd.cam_xmat.reshape(-1, 3, 3),
+            atol=1e-9, err_msg=f"cam_xmat trial {trial}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(dd.sensordata), rd.sensordata, atol=1e-4,
+            err_msg=f"camprojection trial {trial}",
+        )  # pixel units; 1e-4 px = arithmetic-order noise
