@@ -87,8 +87,11 @@ def main():
         eps = jax.random.normal(keps, (POP, n_param), dtype=theta.dtype)
         scores = np.zeros(2 * POP)
         for p in range(POP):
+            # common random numbers: the SAME rollout key for +eps and
+            # -eps, so the antithetic difference reflects the parameter
+            # perturbation rather than reset/exploration noise
+            rng, kr = jax.random.split(rng)
             for s, sign in ((2 * p, 1.0), (2 * p + 1, -1.0)):
-                rng, kr = jax.random.split(rng)
                 state, scores[s] = fitness(
                     state, theta + sign * SIGMA * eps[p], kr
                 )

@@ -61,7 +61,10 @@ def critic_init(rng, n_obs, hidden=(64, 64)):
 
 
 def critic_apply(params, obs):
-    x = obs
+    # clip: a lane that is heading for divergence (pre-auto-reset) can
+    # emit huge observations; the actor's tanh saturates harmlessly but a
+    # linear-output critic would poison the value loss
+    x = jnp.clip(obs, -100.0, 100.0)
     for (w, b) in params[:-1]:
         x = jnp.tanh(x @ w.T + b)
     w, b = params[-1]
@@ -85,7 +88,9 @@ def main():
     critic = critic_init(kc, n_obs)
     state = roll.init(ks)
 
-    opt = optax.adam(LR)
+    # gradient clipping keeps the raw-scale value loss from blowing up the
+    # shared Adam state (observed: un-clipped runs go NaN ~iter 40)
+    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(LR))
     opt_state = opt.init((actor, critic))
 
     def mu_apply(params, obs):
@@ -118,7 +123,9 @@ def main():
         obs, act, adv, target, logp_old = mb
         mu = mu_apply(actor_p, obs)
         logp = gaussian_logp(mu, act, SIGMA)
-        ratio = jnp.exp(logp - logp_old)
+        # clamp the log-ratio: with a small fixed sigma a few epochs of
+        # drift can push exp() to inf on off-policy samples
+        ratio = jnp.exp(jnp.clip(logp - logp_old, -20.0, 20.0))
         surr = jnp.minimum(
             ratio * adv,
             jnp.clip(ratio, 1.0 - CLIP, 1.0 + CLIP) * adv,
@@ -166,15 +173,26 @@ def main():
         rng, kr = jax.random.split(rng)
         state, traj = roll.run(state, kr, actor)
         ret = float(jnp.mean(traj.reward_sum))
+        assert np.isfinite(ret), f"training diverged at iter {it}"
         history.append(ret)
         data = prepare(actor, critic, traj.obs, traj.ctrls, traj.rewards,
                        traj.dones)
+        for name, x in zip(("obs", "act", "adv", "target", "logp"), data):
+            assert bool(jnp.isfinite(x).all()), (
+                f"non-finite {name} in update data at iter {it}"
+            )
         params = (actor, critic)
         for _ in range(EPOCHS):
             rng, ke = jax.random.split(rng)
             params, opt_state = epoch(params, opt_state, data, ke)
         actor, critic = params
-        print(f"[ppo] iter {it:3d}  mean return/call {ret:9.2f}", flush=True)
+        assert all(bool(jnp.isfinite(leaf).all())
+                   for wb in actor for leaf in wb), (
+            f"actor params non-finite after iter {it} update"
+        )
+        div = int(np.sum(np.asarray(traj.diverged)))
+        print(f"[ppo] iter {it:3d}  mean return/call {ret:9.2f}"
+              f"  diverged {div}", flush=True)
 
     wall = time.perf_counter() - t0
     env_steps = ITERS * BATCH * STEPS

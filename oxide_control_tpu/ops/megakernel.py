@@ -324,7 +324,11 @@ def build_rollout(
                 s = pltpu.bitcast(bits, jnp.int32).astype(t0.dtype) * (
                     2.0 ** -31
                 )  # [-1, 1)
-                u1 = 1.0 - 0.5 * (s[:count] + 1.0)   # (0, 1]
+                # clamp u1 away from 0: bits*2^-31 ROUNDS TO EXACTLY 1.0
+                # in f32 for bits near 2^31 (≈2^-25 of samples), and
+                # log(0) = -inf poisons the Box-Muller normal (observed:
+                # one -inf ctrl per ~5M samples)
+                u1 = jnp.maximum(0.5 * (1.0 - s[:count]), 1e-12)  # (0, 1]
                 u2 = 0.5 * (s[count:] + 1.0)         # [0, 1)
                 return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
                     (2.0 * math.pi) * u2
@@ -391,17 +395,9 @@ def build_rollout(
                 qacc1 = None
             n = n + 1
 
-            if hooks is not None:
-                if fk_fn is not None:
-                    rew_t = mat_row(hooks.reward(list(q), list(v), list(c),
-                                                 fk=fk_fn(list(q))))
-                else:
-                    rew_t = mat_row(hooks.reward(list(q), list(v), list(c)))
-                rew = rew + rew_t
-            else:
-                rew_t = None
-
-            # divergence + time-limit -> masked auto-reset
+            # divergence + time-limit -> masked auto-reset (bad computed
+            # BEFORE the reward so a diverged state's NaN reward can be
+            # masked instead of poisoning reward_sum / the trajectory)
             bad = jnp.zeros_like(n, dtype=jnp.bool_)
             for val in list(q) + list(v):
                 if not sg._is_const(val):
@@ -412,6 +408,20 @@ def build_rollout(
                 done = bad
             # observability (SURVEY.md 5.5): per-env divergence-reset count
             ndiv = ndiv + bad.astype(ndiv.dtype)
+
+            if hooks is not None:
+                if fk_fn is not None:
+                    rew_t = mat_row(hooks.reward(list(q), list(v), list(c),
+                                                 fk=fk_fn(list(q))))
+                else:
+                    rew_t = mat_row(hooks.reward(list(q), list(v), list(c)))
+                # diverged step: the state is garbage and the lane resets;
+                # a NaN/inf reward must not reach the accumulator or the
+                # collected trajectory (the done flag marks the boundary)
+                rew_t = jnp.where(bad, 0.0, rew_t)
+                rew = rew + rew_t
+            else:
+                rew_t = None
 
             if emit_obs:
                 orews_ref[k] = rew_t
@@ -426,7 +436,10 @@ def build_rollout(
                     2.0 ** -31
                 )  # [-1, 1)
                 uni = s[:nq]
-                u1 = 1.0 - 0.5 * (s[nq : nq + nn] + 1.0)   # (0, 1]
+                # clamped like std_normals (f32 rounding can give u1=0)
+                u1 = jnp.maximum(
+                    0.5 * (1.0 - s[nq : nq + nn]), 1e-12
+                )                                          # (0, 1]
                 u2 = 0.5 * (s[nq + nn :] + 1.0)            # [0, 1)
                 z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
                     (2.0 * math.pi) * u2

@@ -353,9 +353,10 @@ def supports(model: Model) -> bool:
       rangefinder/subtree-momenta/energy sensors read constraint forces or
       rays and stay general-path
 
+    * fluid forces (mj_fluid inertia-box drag: density/viscosity/wind)
+
     REJECTED (general path only):
     * mocap bodies; runtime eq_active toggling (kernel uses eq_active0)
-    * fluid forces (density/viscosity/wind)
     * free-joint limits/springs; free joint sharing a body with other
       joints; actuators on ball/free joints
     * implicit/implicitfast integrators; CG/PGS solvers
@@ -380,9 +381,6 @@ def supports(model: Model) -> bool:
                 model.geom_type[entry[1]]
             ) not in (GeomType.SPHERE, GeomType.CYLINDER):
                 return False
-    if (model.opt.density != 0.0 or model.opt.viscosity != 0.0
-            or any(w != 0.0 for w in model.opt.wind)):
-        return False  # fluid forces: general path only
     stiffness = np.asarray(jax.device_get(model.jnt_stiffness))
     for j in range(model.njnt):
         jt = model.jnt_type[j]
@@ -1520,6 +1518,69 @@ def build_step(model: Model, with_env: bool = False, task=None,
             frc = sub(mul(stiff, disp), mul(damp, ten_vel[t]))
             for vadr, coef in ten_mom[t].items():
                 qfrc_passive[vadr] = fma(qfrc_passive[vadr], coef, frc)
+
+        # fluid forces (mj_fluid inertia-box drag — smooth._fluid_forces
+        # scalar twin; r5: fluid models join the kernel class).  The box
+        # half-sizes and drag coefficients are model constants, so only
+        # the body velocities are traced.
+        rho = float(model.opt.density)
+        eta = float(model.opt.viscosity)
+        if rho != 0.0 or eta != 0.0 or any(
+                float(w_) != 0.0 for w_ in model.opt.wind):
+            wind_c = tuple(float(w_) for w_ in model.opt.wind)
+            for b in range(1, nbody):
+                m_b = float(mc.body_mass[b])
+                if m_b <= 0:
+                    continue
+                I3 = [float(x) for x in mc.body_inertia[b]]
+                rbox = [
+                    math.sqrt(max(
+                        1.5 * (I3[(i + 1) % 3] + I3[(i + 2) % 3] - I3[i])
+                        / m_b, 1e-12,
+                    ))
+                    for i in range(3)
+                ]
+                rbar = (rbox[0] + rbox[1] + rbox[2]) / 3.0
+                origin = subtree_com[model.body_rootid[b]]
+                arm = vsub3(fk["xipos"][b], origin)
+                w_w = cvel[b][0]
+                v_w = vsub3(vadd3(cvel[b][1], cross3(w_w, arm)), wind_c)
+                imat = quat_to_mat(qmul(xquat[b], tuple(mc.body_iquat[b])))
+                w_l = mat_vec_t(imat, w_w)
+                v_l = mat_vec_t(imat, v_w)
+                f_l = [0.0, 0.0, 0.0]
+                t_l = [0.0, 0.0, 0.0]
+                if eta != 0.0:
+                    cf = -6.0 * math.pi * eta * rbar
+                    ct = -8.0 * math.pi * eta * rbar ** 3
+                    f_l = [mul(cf, v_l[i]) for i in range(3)]
+                    t_l = [mul(ct, w_l[i]) for i in range(3)]
+                if rho != 0.0:
+                    def abs_sg(x):
+                        return abs(x) if _is_const(x) else jnp.abs(x)
+
+                    for i in range(3):
+                        rj = rbox[(i + 1) % 3]
+                        rk = rbox[(i + 2) % 3]
+                        f_l[i] = add(f_l[i], mul(
+                            -2.0 * rho * rj * rk,
+                            mul(abs_sg(v_l[i]), v_l[i]),
+                        ))
+                        t_l[i] = add(t_l[i], mul(
+                            -0.5 * rho * rbox[i] * (rj ** 4 + rk ** 4),
+                            mul(abs_sg(w_l[i]), w_l[i]),
+                        ))
+                f_w = mat_vec(imat, tuple(f_l))
+                t_w = mat_vec(imat, tuple(t_l))
+                sp_ang = vadd3(t_w, cross3(arm, f_w))
+                for dof in range(nv):
+                    if not bd_mask[b, dof]:
+                        continue
+                    ang, lin = cdof[dof]
+                    qfrc_passive[dof] = add(
+                        qfrc_passive[dof],
+                        add(dot3(ang, sp_ang), dot3(lin, f_w)),
+                    )
 
         qfrc_actuator = [0.0] * nv
         act_dot = [0.0] * model.na

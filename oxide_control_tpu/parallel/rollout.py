@@ -93,7 +93,10 @@ class Trajectory:
 
     Always present: ``reward_sum (B,)`` (per-env sum over the K steps;
     auto-reset lanes keep accumulating) and ``diverged (B,)`` (divergence-
-    triggered auto-reset count, SURVEY.md 5.5 observability).
+    triggered auto-reset count, SURVEY.md 5.5 observability).  A step that
+    DIVERGED (state non-finite or beyond the mjMAXVAL analog) contributes
+    reward 0 — its reward would be computed from garbage state — and sets
+    the done flag; consumers see a clean (finite) reward stream.
 
     With ``collect=True``: ``obs (K, n_obs, B)`` — the pre-step observation
     the policy acted on at each step — plus per-step ``rewards (K, B)`` and

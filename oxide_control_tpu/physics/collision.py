@@ -45,7 +45,9 @@ def max_contacts_per_pair(t1: int, t2: int) -> int:
     if pair in ((GeomType.HFIELD, GeomType.BOX),
                 (GeomType.HFIELD, GeomType.ELLIPSOID),
                 (GeomType.HFIELD, GeomType.CYLINDER)):
-        return 18  # 3x3 cell window x 2 triangle prisms (MPR per prism)
+        # 3x3 cell window x 2 triangle prisms, each with an MPR witness +
+        # 4 perturbed-support manifold lanes (flat-face/ridge restings)
+        return 90
     if (pair[0] in _CONVEX_TYPES and pair[1] in _CONVEX_TYPES
             and pair not in _PRIMS):
         return 5  # MPR + 4 perturbed-support manifold lanes
@@ -749,6 +751,18 @@ def _hfield_prism_mpr(model: Model, d, gh: int, gg: int, hsize, nrow,
         dl = gmat.T @ dw
         return gpos + gmat @ _support_local(gt, size, None, dl)
 
+    # manifold extent gate: the smaller of the prism cell scale and the
+    # geom's largest half-size (same rule as _mpr_pair's scale_min).
+    # Static values from the model (the hsize ARG may be traced here).
+    sizes_np = np.asarray(jax.device_get(model.geom_size))
+    hs_np = np.asarray(jax.device_get(model.hfield_size)).reshape(-1, 4)[
+        model.geom_dataid[gh]
+    ]
+    cell = max(2.0 * hs_np[0] / (ncol - 1), 2.0 * hs_np[1] / (nrow - 1))
+    prism_scale = float(max(
+        min(cell, float(np.max(sizes_np[gg]))), 1e-6
+    ))
+
     ds, ps, fs = [], [], []
     for dj in range(3):
         for di in range(3):
@@ -778,9 +792,20 @@ def _hfield_prism_mpr(model: Model, d, gh: int, gg: int, hsize, nrow,
                 center = jnp.mean(verts_w, axis=0)
                 dist, pos, n = _mpr(prism_sup, geom_sup, center, gpos,
                                     dtype)
+                frame = make_frame(n)
                 ds.append(dist)
                 ps.append(pos)
-                fs.append(make_frame(n))
+                fs.append(frame)
+                # multi-witness manifold per prism (VERDICT r4 next #6):
+                # a flat prism top under a box/cylinder face needs the
+                # same perturbed-support corners the free convex pairs
+                # get, or ridge restings tip about the single witness
+                mds, mps, mfs = _manifold_lanes(
+                    prism_sup, geom_sup, pos, n, frame, prism_scale
+                )
+                ds += mds
+                ps += mps
+                fs += mfs
     return jnp.stack(ds), jnp.stack(ps), jnp.stack(fs)
 
 
@@ -810,23 +835,28 @@ def _mpr_pair(model: Model, d, g1: int, g2: int):
         sup1, sup2, d.geom_xpos[g1], d.geom_xpos[g2], dtype,
     )
 
-    # manifold sampling (MuJoCo multiCCD analog, VERDICT r3 next #6):
-    # flat-face restings are under-constrained with one contact, so probe
-    # both support maps under normals tilted toward the SAME tangent
-    # direction t — on flat faces the supports jump to the faces' extreme
-    # points along t, and the overlap region extends to the SMALLER of the
-    # two tangential extents; on curved surfaces the supports barely move
-    # (extent ~ eps * radius), which the extent gate rejects, leaving the
-    # single-point contact a curved pairing should have.
-    frame = make_frame(n)
-    tan1, tan2 = frame[1], frame[2]
+    # manifold sampling (MuJoCo multiCCD analog, VERDICT r3 next #6)
     sizes = np.asarray(jax.device_get(model.geom_size))
     scale_min = float(max(min(np.max(sizes[g1]), np.max(sizes[g2])), 1e-6))
-    eps = 0.05
+    frame = make_frame(n)
+    mds, mps, mfs = _manifold_lanes(sup1, sup2, pos, n, frame, scale_min)
+    return (jnp.stack([dist] + mds), jnp.stack([pos] + mps),
+            jnp.stack([frame] + mfs))
+
+
+def _manifold_lanes(sup1, sup2, pos, n, frame, scale_min, eps=0.05):
+    """Perturbed-support manifold probes around an MPR witness: flat-face
+    restings are under-constrained with one contact, so probe both support
+    maps under normals tilted toward the SAME tangent direction t — on
+    flat faces the supports jump to the faces' extreme points along t, and
+    the overlap region extends to the SMALLER of the two tangential
+    extents; on curved surfaces the supports barely move (extent ~ eps *
+    radius), which the extent gate rejects, leaving the single-point
+    contact a curved pairing should have.  Returns 4 (dist, pos, frame)
+    lanes (inactive ones at dist 1e10)."""
+    tan1, tan2 = frame[1], frame[2]
     min_extent = 2.0 * eps * scale_min  # > curved-support drift
-    ds = [dist]
-    ps = [pos]
-    fs = [frame]
+    ds, ps, fs = [], [], []
     for t in (tan1, -tan1, tan2, -tan2):
         da = n + eps * t
         da = da / jnp.linalg.norm(da)
@@ -843,7 +873,7 @@ def _mpr_pair(model: Model, d, g1: int, g2: int):
         ds.append(jnp.where(flat, depth, 1e10))
         ps.append(posk)
         fs.append(frame)
-    return jnp.stack(ds), jnp.stack(ps), jnp.stack(fs)
+    return ds, ps, fs
 
 
 def _hfield_surface(hsize, nrow, ncol, data, pl):

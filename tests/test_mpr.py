@@ -145,8 +145,8 @@ def test_ellipsoid_box_drop_windowed():
     impulse distributes angular momentum differently for a step before
     the trajectories re-agree (visible only in the velocity, not the
     integrated position)."""
-    compare_windowed(ELLBOX_XML, 400, window=10, seed=3, tol=5e-3,
-                     vel_tol=0.4)
+    compare_windowed(ELLBOX_XML, 400, window=10, seed=3, tol=2.5e-3,
+                     vel_tol=0.35)
 
 
 def test_sphere_mesh_drop_windowed():
@@ -154,7 +154,7 @@ def test_sphere_mesh_drop_windowed():
     # degrees from MuJoCo's exact vertex normal, so impact-frame velocities
     # differ transiently while the integrated position stays at 5e-3
     compare_windowed(TET_MESH_XML, 400, window=10, seed=5, tol=5e-3,
-                     vel_tol=1.0)
+                     vel_tol=0.7)
 
 
 def test_capsule_cylinder_drop_windowed():
@@ -163,8 +163,8 @@ def test_capsule_cylinder_drop_windowed():
     # O(eps) from MuJoCo's clipped manifold, so impact instants in this
     # chaotic 400-step drop shift transiently; the resting-stack tests
     # below are the static correctness statement
-    compare_windowed(CAPCYL_XML, 400, window=10, seed=7, tol=2.5e-2,
-                     vel_tol=6.0)
+    compare_windowed(CAPCYL_XML, 400, window=10, seed=7, tol=2e-2,
+                     vel_tol=5.0)
 
 
 def _settle_drift(xml, nsteps=2000):
@@ -235,3 +235,44 @@ def test_box_on_mesh_stack_holds():
     assert abs(q[7]) < 1e-4 and abs(q[8]) < 1e-4, q[7:10]
     assert abs(q[9] - 0.3) < 3e-3, q[9]
     assert q[10] > 0.99999, q[10:14]
+
+
+def test_capsule_cylinder_impulse_pinned():
+    """Impulse-pinning golden (VERDICT r4 next #6): a capsule dropped
+    axially symmetric onto a horizontal cylinder's side — one clean
+    crossing contact, no chaos — must match MuJoCo's post-impact state
+    tightly (position 1e-3, velocity 5e-2) through the impact and the
+    settling, unlike the chaotic 400-step tumble windows."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="30"
+              tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="3 3 .1"/>
+        <body name="cyl" pos="0 0 0.12">
+          <geom name="cg" type="cylinder" size="0.12 0.3" mass="2"
+                euler="90 0 0"/>
+        </body>
+        <body name="cap" pos="0 0 0.45">
+          <freejoint/>
+          <geom name="capg" type="capsule" fromto="-0.25 0 0 0.25 0 0"
+                size="0.05" mass="0.4"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    ref = mujoco.MjModel.from_xml_string(xml)
+    rd = mujoco.MjData(ref)
+    m = load_model_from_xml(xml)
+    d = make_data(m)
+    step = jax.jit(lambda x: fwd.step(m, x))
+    err_q = err_v = 0.0
+    for k in range(120):
+        mujoco.mj_step(ref, rd)
+        d = step(d)
+        err_q = max(err_q, float(np.max(np.abs(
+            np.asarray(d.qpos) - rd.qpos))))
+        err_v = max(err_v, float(np.max(np.abs(
+            np.asarray(d.qvel) - rd.qvel))))
+    assert err_q < 1e-3, err_q
+    assert err_v < 5e-2, err_v

@@ -496,10 +496,10 @@ def test_supports_documented_rejections():
     assert sg.supports(make())
     # mocap bodies
     assert not sg.supports(make(joint="", mocap='mocap="true"'))
-    # fluid forces
-    assert not sg.supports(make(opt='density="1.2"'))
-    assert not sg.supports(make(opt='viscosity="0.1"'))
-    assert not sg.supports(make(opt='wind="1 0 0"'))
+    # fluid forces joined the kernel class in r5 (inertia-box drag)
+    assert sg.supports(make(opt='solver="Newton" density="1.2"'))
+    assert sg.supports(make(opt='solver="Newton" viscosity="0.1"'))
+    assert sg.supports(make(opt='solver="Newton" wind="1 0 0"'))
     # implicit integrators / non-Newton solvers
     assert not sg.supports(make(opt='integrator="implicitfast"'))
     assert not sg.supports(make(opt='solver="CG"'))
@@ -942,3 +942,32 @@ def test_box_box_scalar_graph():
                for (a, b, _) in m.pair_groups)
     # small qvel noise, boxes settle into face-face stacking + tilts
     _parity_rollout(m, nsteps=20, seed=11, tol=2e-6, tol_v=None)
+
+
+def test_fluid_forces_scalar_graph():
+    """Fluid forces (mj_fluid inertia-box drag) in the kernel class (r5):
+    density + viscosity + wind on a tumbling free box matches the general
+    pipeline."""
+    from oxide_control_tpu.mjcf.compile import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="8"
+              tolerance="0" density="1.2" viscosity="0.02" wind="0.5 -0.3 0.1"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body pos="0 0 1">
+          <freejoint/>
+          <geom type="box" size="0.1 0.15 0.05" mass="0.4"/>
+        </body>
+        <body pos="0.5 0 0.6">
+          <joint type="hinge" axis="0 1 0" damping="0.01"/>
+          <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03"
+                mass="0.3"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert sg.supports(m)
+    _parity_rollout(m, nsteps=20, seed=13, tol=1e-8)
