@@ -302,6 +302,7 @@ class _Compiler:
         world = self.root.find("worldbody")
         if world is None:
             raise ModelError("missing <worldbody>")
+        self._expand_meta(world)
         # world body (id 0)
         self.bodies.append(
             dict(
@@ -317,6 +318,274 @@ class _Compiler:
         self._parse_contact()
         self._parse_sensors()
         self._parse_keyframes()
+
+    # -- meta-element expansion (<replicate> / <composite>) -----------------
+    #
+    # MuJoCo's parser expands these into plain model elements before
+    # compilation (mj_loadXML macro layer; reference hot path
+    # physics.rs:12-24 accepts models using them).  We do the same at the
+    # XML level so the core compiler stays macro-free.  Conventions
+    # (naming, transforms, frames, auto-excludes) verified against
+    # MuJoCo 3.10 — see tests/test_mjcf.py replicate/cable cases.
+
+    def _expand_meta(self, elem: ET.Element):
+        i = 0
+        while i < len(elem):
+            child = elem[i]
+            if child.tag in ("replicate", "composite"):
+                if child.tag == "replicate":
+                    new = self._expand_replicate(child)
+                else:
+                    new = self._expand_composite(child)
+                elem.remove(child)
+                for k, n in enumerate(new):
+                    elem.insert(i + k, n)
+                continue  # re-examine the inserted elements (nesting)
+            self._expand_meta(child)
+            i += 1
+
+    def _expand_replicate(self, el: ET.Element) -> list[ET.Element]:
+        """<replicate count offset euler sep>: N copies of the enclosed
+        elements, each translated by the ACCUMULATED offset (rotated into
+        the accumulated frame) and rotated by the accumulated euler;
+        every name gets a zero-padded index suffix (sep-separated).
+        Verified vs MuJoCo 3.10: copy i has pos P_i + Q_i p, quat Q_i q
+        with P_0 = 0, Q_0 = I, P_{i+1} = P_i + Q_i offset,
+        Q_{i+1} = Q_i q_euler."""
+        import copy as _copy
+
+        attrs = dict(el.attrib)
+        count = int(attrs.get("count", "2").split()[0])
+        offset = _attr_floats(attrs, "offset", [0, 0, 0], 3)
+        sep = attrs.get("sep", "")
+        q_step = self._orientation(attrs) if any(
+            k in attrs for k in ("euler", "quat", "axisangle", "xyaxes",
+                                 "zaxis")
+        ) else np.array([1.0, 0, 0, 0])
+        width = len(str(count - 1))
+
+        def suffix_names(e: ET.Element, suf: str):
+            if "name" in e.attrib:
+                e.attrib["name"] = e.attrib["name"] + suf
+            if e.tag == "composite" and "prefix" in e.attrib:
+                e.attrib["prefix"] = e.attrib["prefix"] + suf
+            for sub in e:
+                suffix_names(sub, suf)
+
+        out = []
+        P = np.zeros(3)
+        Q = np.array([1.0, 0, 0, 0])
+        for i in range(count):
+            suf = f"{sep}{i:0{width}d}"
+            for child in el:
+                c = _copy.deepcopy(child)
+                suffix_names(c, suf)
+                cattrs = dict(c.attrib)
+                if "fromto" in cattrs:
+                    ft = _attr_floats(cattrs, "fromto", None, 6)
+                    R = _quat_to_mat(Q)
+                    ft = np.concatenate([P + R @ ft[:3], P + R @ ft[3:]])
+                    c.attrib["fromto"] = " ".join(f"{v:.17g}" for v in ft)
+                else:
+                    pos = _attr_floats(cattrs, "pos", [0, 0, 0], 3)
+                    quat = self._orientation(cattrs)
+                    pos = P + _quat_to_mat(Q) @ pos
+                    quat = _quat_mul(Q, quat)
+                    for k in ("euler", "axisangle", "xyaxes", "zaxis"):
+                        c.attrib.pop(k, None)
+                    c.attrib["pos"] = " ".join(f"{v:.17g}" for v in pos)
+                    c.attrib["quat"] = " ".join(f"{v:.17g}" for v in quat)
+                out.append(c)
+            P = P + _quat_to_mat(Q) @ offset
+            Q = _quat_mul(Q, q_step)
+        return out
+
+    def _expand_composite(self, el: ET.Element) -> list[ET.Element]:
+        """<composite type="cable">: a chain of ball-jointed capsule
+        bodies along a polyline (MuJoCo 3.x reduces composite to cable;
+        particle/grid/rope/cloth are deprecated upstream in favor of
+        replicate/flexcomp).  Supported here: curve="s"-family straight
+        cables and explicit ``vertex`` polylines, ``initial`` first-joint
+        free/ball/none, per-geom and kind="main" joint attribute
+        templates, and the auto-generated consecutive-body contact
+        excludes.  Body frames follow MuJoCo's rule (verified vs 3.10):
+        x = segment tangent; z_0 = normalized cross(t_0, t_1) (fallback:
+        world z projected off the tangent, then world x); z parallel-
+        transported along the chain; y = z cross x."""
+        attrs = dict(el.attrib)
+        ctype = attrs.get("type", "")
+        if ctype != "cable":
+            raise UnsupportedFeatureError(
+                f"composite type={ctype!r} not supported: MuJoCo 3.x keeps "
+                "only 'cable' (particle -> <replicate>, grid/cloth/rope -> "
+                "flex/flexcomp, which are out of scope)"
+            )
+        prefix = attrs.get("prefix", "")
+        initial = attrs.get("initial", "none")
+        offset = _attr_floats(attrs, "offset", [0, 0, 0], 3)
+
+        # templates from child elements
+        geom_tpl = None
+        joint_tpl: dict[str, str] = {}
+        for sub in el:
+            if sub.tag == "geom":
+                geom_tpl = dict(sub.attrib)
+            elif sub.tag == "joint":
+                kind = sub.attrib.get("kind", "main")
+                if kind != "main":
+                    raise UnsupportedFeatureError(
+                        f"cable joint kind={kind!r} not supported"
+                    )
+                joint_tpl = {k: v for k, v in sub.attrib.items()
+                             if k != "kind"}
+            elif sub.tag == "plugin":
+                raise UnsupportedFeatureError(
+                    "cable elasticity plugins are not supported (engine "
+                    "plugin machinery is out of scope; passive cable "
+                    "chains compile without one)"
+                )
+            else:
+                raise UnsupportedFeatureError(
+                    f"unsupported <{sub.tag}> inside <composite>"
+                )
+        if geom_tpl is None or geom_tpl.get("type") != "capsule":
+            raise UnsupportedFeatureError(
+                "cable composite needs a <geom type='capsule'> template "
+                "(sphere/box cable geoms not supported)"
+            )
+
+        # vertex polyline (offset is added in f64 to the first body's
+        # position only; segment geometry uses the f32-rounded raw
+        # vertices — matches MuJoCo's composite arithmetic)
+        if "vertex" in attrs:
+            verts = _floats(attrs["vertex"]).reshape(-1, 3)
+        else:
+            count = int(attrs.get("count", "0").split()[0])
+            if count < 2:
+                raise ModelError("cable needs count >= 2 or a vertex list")
+            curve = attrs.get("curve", "s").split()
+            curve += ["0"] * (3 - len(curve))
+            size = _attr_floats(attrs, "size", [1, 0, 0], 3)
+            verts = np.zeros((count, 3))
+            for ax, fn in enumerate(curve[:3]):
+                if fn == "s":
+                    verts[:, ax] = np.linspace(0, size[0], count)
+                elif fn == "-s":
+                    verts[:, ax] = -np.linspace(0, size[0], count)
+                elif fn in ("0", ""):
+                    pass
+                else:
+                    raise UnsupportedFeatureError(
+                        f"cable curve function {fn!r} not supported (use "
+                        "an explicit vertex list for curved cables)"
+                    )
+        # MuJoCo's composite machinery stores cable vertices in float32;
+        # round so compiled fields match the oracle bit-for-bit-ish
+        verts = verts.astype(np.float32).astype(np.float64)
+        nseg = len(verts) - 1
+        if nseg < 1:
+            raise ModelError("cable needs at least 2 vertices")
+
+        # frames (verified vs MuJoCo 3.10): x = tangent; the FIRST frame's
+        # z = normalized cross(t_0, t_1) (fallback: world z projected off
+        # the tangent, then world x); subsequent frames PARALLEL-TRANSPORT
+        # the whole frame — local rotation between body i-1 and i is the
+        # minimal rotation taking t_{i-1} to t_i (zero twist about the
+        # tangent: the local quat's x component is exactly 0)
+        d = np.diff(verts, axis=0)
+        lens = np.linalg.norm(d, axis=1)
+        if np.any(lens < 1e-12):
+            raise ModelError("cable has coincident vertices")
+        t = d / lens[:, None]
+        c0 = np.cross(t[0], t[1]) if nseg > 1 else np.zeros(3)
+        if np.linalg.norm(c0) > 1e-10:
+            z0 = c0 / np.linalg.norm(c0)
+        else:
+            z0 = np.array([0.0, 0, 1]) - t[0][2] * t[0]
+            if np.linalg.norm(z0) < 1e-10:
+                z0 = np.array([1.0, 0, 0]) - t[0][0] * t[0]
+            z0 = z0 / np.linalg.norm(z0)
+        mats = [np.stack([t[0], np.cross(z0, t[0]), z0], axis=1)]
+        loc_quats = [None]  # local quat per body (body 0 uses mats[0])
+        for i in range(1, nseg):
+            b = mats[i - 1].T @ t[i]  # new tangent in the previous frame
+            # minimal rotation (1,0,0) -> b: q = (1 + b_x, 0, -b_z, b_y)
+            q = np.array([1.0 + b[0], 0.0, -b[2], b[1]])
+            n = np.linalg.norm(q)
+            if n < 1e-10:  # 180-degree reversal: rotate about local z
+                q = np.array([0.0, 0.0, 0.0, 1.0])
+            else:
+                q = q / n
+            loc_quats.append(q)
+            mats.append(mats[i - 1] @ _quat_to_mat(q))
+
+        def bname(i):
+            return prefix + ("B_first" if i == 0
+                             else "B_last" if i == nseg - 1 else f"B_{i}")
+
+        def jname(i):
+            return prefix + ("J_first" if i == 0
+                             else "J_last" if i == nseg - 1 else f"J_{i}")
+
+        def fmt(v):
+            return " ".join(f"{x:.17g}" for x in np.asarray(v))
+
+        bodies = []
+        for i in range(nseg):
+            b = ET.Element("body")
+            b.attrib["name"] = bname(i)
+            if i == 0:
+                pos = verts[0] + offset
+                quat = _mat_to_quat(mats[0])
+            else:
+                pos = np.array([lens[i - 1], 0.0, 0.0])
+                quat = loc_quats[i]
+            b.attrib["pos"] = fmt(pos)
+            b.attrib["quat"] = fmt(quat)
+            if i == 0 and initial != "none":
+                if initial not in ("free", "ball"):
+                    raise ModelError(f"cable initial={initial!r}")
+                j = ET.SubElement(b, "joint")
+                if initial == "ball":
+                    # the ball first joint takes the full main-joint
+                    # template; the free one only its stiffness
+                    # (verified vs MuJoCo 3.10)
+                    j.attrib.update(joint_tpl)
+                elif "stiffness" in joint_tpl:
+                    j.attrib["stiffness"] = joint_tpl["stiffness"]
+                j.attrib.update(name=jname(0), type=initial)
+            elif i > 0:
+                j = ET.SubElement(b, "joint")
+                j.attrib.update(joint_tpl)
+                j.attrib.update(name=jname(i), type="ball")
+            g = ET.SubElement(b, "geom")
+            g.attrib.update({k: v for k, v in geom_tpl.items()
+                             if k not in ("type", "size", "pos", "quat",
+                                          "fromto", "euler", "axisangle",
+                                          "zaxis", "xyaxes")})
+            r = float(_floats(geom_tpl.get("size", "0.005"))[0])
+            g.attrib.update(
+                name=prefix + f"G{i}", type="capsule",
+                size=f"{r:.17g} {lens[i] / 2:.17g}",
+                pos=f"{lens[i] / 2:.17g} 0 0",
+                # z-axis -> -x (the MuJoCo cable convention; capsule is
+                # symmetric so only the stored quat differs from +x)
+                quat="0.70710678118654757 0 -0.70710678118654746 0",
+            )
+            if i == 0:
+                s = ET.SubElement(b, "site")
+                s.attrib.update(name=prefix + "S_first", pos="0 0 0")
+            if i == nseg - 1:
+                s = ET.SubElement(b, "site")
+                s.attrib.update(name=prefix + "S_last",
+                                pos=f"{lens[i]:.17g} 0 0")
+            bodies.append(b)
+
+        # nest the chain and register the consecutive-body excludes
+        for i in range(nseg - 1):
+            bodies[i].append(bodies[i + 1])
+            self.excludes.append((bname(i), bname(i + 1)))
+        return [bodies[0]]
 
     def _parse_keyframes(self):
         """<keyframe><key .../> (mjModel.key_* analog).  Attributes omitted
@@ -597,6 +866,10 @@ class _Compiler:
         elif self.autolimits:
             limited = bool(has_range)
         else:
+            limited = False
+        if jtype == JointType.FREE:
+            # MuJoCo silently clears `limited` on free joints (verified
+            # against 3.10: limited="true" compiles to jnt_limited=False)
             limited = False
         ref = _attr_float(attrs, "ref", 0.0)
         springref = _attr_float(attrs, "springref", 0.0)

@@ -132,11 +132,20 @@ def build_rollout(
     be nonzero); ``diverged_count`` is the number of divergence-triggered
     auto-resets per env over the K steps (SURVEY.md 5.5 observability).
 
+    Mocap models (``model.nmocap > 0``) take one more runtime input
+    ``mocap (7*nmocap, B)`` — per-env (pos3, quat4) rows in
+    Data.mocap_pos/mocap_quat order, constant within one K-step call
+    (the consumer moves targets between calls, the MuJoCo mocap idiom).
+    Equality models (``model.neq > 0``) take ``eq_active (neq, B)``
+    per-env 0/1 rows (Data.eq_active semantics; runtime toggling without
+    recompile).  Both appended AFTER the policy params in the signature.
+
     Layout note: state arrays are **coordinate-major** (nq, B) so each
     coordinate row is a full lane vector per tile.
     """
     assert supports(model)
     nq, nv, nu, na = model.nq, model.nv, model.nu, model.na
+    nmocap, neq = model.nmocap, model.neq
     if emit_obs or policy is not None:
         assert hooks is not None and hooks.observe is not None, (
             "emit_obs/policy need EnvHooks.observe"
@@ -167,7 +176,7 @@ def build_rollout(
     # Mosaic.  Estimate calibrated on humanoid (nv=27 peaks ~5k vectors).
     na_rows = max(na, 1)   # Pallas block shapes must be nonzero
     nu_rows = max(nu, 1)
-    est_vectors = 7 * nv * nv + 40 * nv + 6 * nq + 300
+    est_vectors = 7 * nv * nv + 40 * nv + 6 * nq + 300 + 7 * nmocap + neq
     if policy is not None:
         est_vectors += 2 * (n_obs + sum(policy.hidden) + nu)
     if needs_sensors:
@@ -254,6 +263,12 @@ def build_rollout(
         for _ in range(n_layers):
             param_refs.append((refs[i_], refs[i_ + 1]))
             i_ += 2
+        if nmocap:
+            mocap_ref = refs[i_]
+            i_ += 1
+        if neq:
+            eqact_ref = refs[i_]
+            i_ += 1
         (oq_ref, ov_ref, oa_ref, ows_ref, ot_ref) = refs[i_:i_ + 5]
         i_ += 5
         if carry_qacc:
@@ -315,6 +330,13 @@ def build_rollout(
                 return jnp.full_like(t0, float(x))
             return x.astype(t0.dtype) if x.dtype != t0.dtype else x
 
+        # runtime mocap poses / equality-active lanes (chunk-invariant
+        # per-env inputs; None when the model has neither)
+        moc = (list(mocap_ref[i, :] for i in range(7 * nmocap))
+               if nmocap else None)
+        eqa = (list(eqact_ref[e, :] != 0.0 for e in range(neq))
+               if neq else None)
+
         def std_normals(count, k, salt):
             """(count, TILE) standard normals: hardware PRNG + Box-Muller
             on TPU; the threefry jax.random stream in interpret mode (the
@@ -347,13 +369,13 @@ def build_rollout(
                     emit_obs or policy is not None):
                 okw = {}
                 if fk_fn is not None:
-                    okw["fk"] = fk_fn(list(q))
+                    okw["fk"] = fk_fn(list(q), mocap=moc)
                 if needs_sensors:
                     okw["sensordata"] = sens_fn(
                         list(q), list(v),
                         qacc=list(qa) if carry_qacc else None,
                         time=n.astype(t0.dtype) * h,
-                        fk=okw.get("fk"),
+                        fk=okw.get("fk"), mocap=moc,
                     )
                 obs_rows = hooks.observe(list(q), list(v), **okw)
                 assert len(obs_rows) == n_obs, (len(obs_rows), n_obs)
@@ -387,11 +409,12 @@ def build_rollout(
 
             if carry_qacc:
                 q, v, a, w, qacc1 = step(
-                    list(q), list(v), list(a), list(w), list(c)
+                    list(q), list(v), list(a), list(w), list(c),
+                    mocap=moc, eq_act=eqa,
                 )
             else:
                 q, v, a, w = step(list(q), list(v), list(a), list(w),
-                                  list(c))
+                                  list(c), mocap=moc, eq_act=eqa)
                 qacc1 = None
             n = n + 1
 
@@ -412,7 +435,8 @@ def build_rollout(
             if hooks is not None:
                 if fk_fn is not None:
                     rew_t = mat_row(hooks.reward(list(q), list(v), list(c),
-                                                 fk=fk_fn(list(q))))
+                                                 fk=fk_fn(list(q),
+                                                          mocap=moc)))
                 else:
                     rew_t = mat_row(hooks.reward(list(q), list(v), list(c)))
                 # diverged step: the state is garbage and the lane resets;
@@ -553,6 +577,9 @@ def build_rollout(
         in_specs = [spec(nq), spec(nv), spec(na_rows), spec(nv), spec(1)]
         if carry_qacc:
             in_specs.append(spec(nv))
+        n_extra = (1 if nmocap else 0) + (1 if neq else 0)
+        extra = rest[len(rest) - n_extra:] if n_extra else ()
+        rest = rest[:len(rest) - n_extra] if n_extra else rest
         if policy is None:
             ctrl, seed = rest[0], rest[1]
             params_flat = rest[2:]
@@ -570,6 +597,11 @@ def build_rollout(
         in_specs.append(seed_spec)
         for p in params_flat:
             in_specs.append(full_spec(p.shape))
+        if nmocap:
+            in_specs.append(spec(7 * nmocap))
+        if neq:
+            in_specs.append(spec(neq))
+        inputs = inputs + tuple(extra)
 
         state_specs = [spec(nq), spec(nv), spec(na_rows), spec(nv), spec(1)]
         state_shapes = [

@@ -326,10 +326,11 @@ def supports(model: Model) -> bool:
 
     COVERED:
     * joints: hinge, slide, ball (incl. limits + rotational springs), free
-      (as the body's only joint, unlimited, no spring)
+      (incl. translation + quaternion springs; MuJoCo itself forbids
+      limits and body-sharing for free joints)
     * integrators: Euler (incl. implicit joint damping), RK4
-    * solver: Newton; pyramidal cones at condim 1/3/4/6 (torsional +
-      rolling friction), elliptic cones at condim 1/3
+    * solver: Newton; pyramidal AND elliptic cones at condim 1/3/4/6
+      (torsional + rolling friction)
     * contacts: plane-sphere/capsule/box/ellipsoid/cylinder, sphere-
       sphere, sphere-capsule, sphere-box, capsule-capsule, capsule-box,
       box-box (SAT + face clip, 8 lanes matching the general top_k;
@@ -337,8 +338,8 @@ def supports(model: Model) -> bool:
     * equality: connect, weld, joint, tendon (fixed tendons) —
       statically active (eq_active0)
     * actuators: stateless + stateful (integrator/filter/filterexact/
-      muscle) with joint (hinge/slide), fixed-tendon, or site (no refsite)
-      transmission
+      muscle) with joint (hinge/slide/ball/free), fixed-tendon, or site
+      (no refsite) transmission
     * tendons, fixed AND spatial (site-routed paths with sphere/cylinder
       wrap geoms, sidesites, pulleys): springs/dampers/limits/friction
       loss, equality, transmission — spatial lengths/moments via the
@@ -355,21 +356,15 @@ def supports(model: Model) -> bool:
 
     * fluid forces (mj_fluid inertia-box drag: density/viscosity/wind)
 
+    * mocap bodies (poses as runtime kernel inputs, constant within one
+      K-step call) and runtime eq_active toggling (per-env bool lanes as
+      runtime inputs) — both r5 admissions via the policy-params pattern
+
     REJECTED (general path only):
-    * mocap bodies; runtime eq_active toggling (kernel uses eq_active0)
-    * free-joint limits/springs; free joint sharing a body with other
-      joints; actuators on ball/free joints
     * implicit/implicitfast integrators; CG/PGS solvers
     * contact pairs outside the list above (non-plane cylinder/
-      ellipsoid pairings, mesh, hfield); elliptic cones at condim 4/6
+      ellipsoid pairings, mesh, hfield)
     """
-    if model.nmocap:
-        return False
-    if any(not model.eq_active0[e] for e in range(model.neq)):
-        # statically inactive equality is fine to skip ONLY if the consumer
-        # never toggles it at runtime; the kernel state carries no
-        # eq_active, so reject models that declare inactive constraints
-        return False
     for t in range(model.ntendon):
         if getattr(model, "tendon_kind", (0,) * model.ntendon)[t] != 1:
             continue
@@ -381,16 +376,14 @@ def supports(model: Model) -> bool:
                 model.geom_type[entry[1]]
             ) not in (GeomType.SPHERE, GeomType.CYLINDER):
                 return False
-    stiffness = np.asarray(jax.device_get(model.jnt_stiffness))
     for j in range(model.njnt):
-        jt = model.jnt_type[j]
-        if jt in (JointType.HINGE, JointType.SLIDE):
-            continue
-        if jt == JointType.FREE:
-            # free-joint limit rows / springs are not built
-            if model.jnt_limited[j] or stiffness[j] > 0:
+        if model.jnt_type[j] == JointType.FREE:
+            # free-joint limit rows are not built; MuJoCo's own compiler
+            # silently clears `limited` on free joints and rejects free
+            # joints sharing a body (>6 dofs), so these are unreachable
+            # through the MJCF path — assert the invariants anyway
+            if model.jnt_limited[j]:
                 return False
-            # MuJoCo requires a free joint to be its body's only joint
             if model.body_jntnum[model.jnt_bodyid[j]] != 1:
                 return False
     if model.opt.integrator not in (Integrator.EULER, Integrator.RK4):
@@ -399,25 +392,14 @@ def supports(model: Model) -> bool:
         return False
     for u in range(model.nu):
         trn = TrnType(model.actuator_trntype[u])
-        if trn == TrnType.JOINT:
-            # transmission moments on quaternion joints not built
-            if model.jnt_type[model.actuator_trnid[u]] not in (
-                JointType.HINGE, JointType.SLIDE,
-            ):
-                return False
-        elif trn not in (TrnType.TENDON, TrnType.SITE):
+        if trn not in (TrnType.JOINT, TrnType.TENDON, TrnType.SITE):
             return False
     for (t1, t2, pairs) in model.pair_groups:
         if (GeomType(t1), GeomType(t2)) not in _SUPPORTED_PAIRS:
             return False
-    from .. import model as _model_mod
-
-    elliptic = model.opt.cone == _model_mod.ConeType.ELLIPTIC
     for c in model.pair_condim:
         if c not in (1, 3, 4, 6):
             return False
-        if elliptic and c > 3:
-            return False  # elliptic cone groups are built for condim 3
     return True
 
 
@@ -763,12 +745,17 @@ def _spatial_tendon_sg(model, mc, fk, bd_mask, t, qpos):
     return L, row
 
 
-def _fk_chain(model, mc, sub_mask, qpos):
+def _fk_chain(model, mc, sub_mask, qpos, mocap=None):
     """FK + com geometry: every position-dependent quantity the
     downstream stages (CRB/RNE/constraint rows/equality/transmission/
     env hooks) read.  Module-level so equality-row assembly can push a
     jvp through it and so build_fk exposes the SAME FK the step uses
-    to observation/reward hooks (no hand-derived twins)."""
+    to observation/reward hooks (no hand-derived twins).
+
+    ``mocap``: optional flat list of 7*nmocap scalars (pos3 + quat4 per
+    mocap body, Data.mocap_pos/mocap_quat order) — runtime kernel inputs
+    replacing the model constants for mocap body poses (smooth.kinematics
+    mocap branch; r5 kernel-class admission)."""
     nbody, nv = model.nbody, model.nv
     # xanchor/xaxis are captured DURING the walk (before each joint's
     # own transform), matching mj_kinematics: a later joint of the same
@@ -779,6 +766,14 @@ def _fk_chain(model, mc, sub_mask, qpos):
     xaxis = [None] * model.njnt
     for b in range(1, nbody):
         p = model.body_parentid[b]
+        mid = model.body_mocapid[b] if mocap is not None else -1
+        if mid >= 0:
+            pos = tuple(mocap[7 * mid + i] for i in range(3))
+            quat = qnormalize(tuple(mocap[7 * mid + 3 + i]
+                                    for i in range(4)))
+            xpos[b] = pos
+            xquat[b] = quat
+            continue
         pos = vadd3(xpos[p], qrot(xquat[p], tuple(mc.body_pos[b])))
         quat = qmul(xquat[p], tuple(mc.body_quat[b]))
         jids = smooth.body_joints(model, b)
@@ -887,8 +882,8 @@ def build_fk(model: Model):
     mc = _ModelConsts(model)
     sub_mask = smooth.subtree_mask(model)
 
-    def fk(qpos):
-        out = _fk_chain(model, mc, sub_mask, list(qpos))
+    def fk(qpos, mocap=None):
+        out = _fk_chain(model, mc, sub_mask, list(qpos), mocap=mocap)
         site_xpos = []
         for si in range(model.nsite):
             b = model.site_bodyid[si]
@@ -1126,8 +1121,24 @@ def build_sensors(model: Model):
         gear = float(mc.actuator_gear[u][0])
         if trn == TrnType.JOINT:
             j = model.actuator_trnid[u]
-            return (mul(gear, qpos[model.jnt_qposadr[j]]),
-                    mul(gear, qvel[model.jnt_dofadr[j]]))
+            jt_u = model.jnt_type[j]
+            qadr, vadr = model.jnt_qposadr[j], model.jnt_dofadr[j]
+            if jt_u == JointType.BALL:
+                g3 = [float(x) for x in mc.actuator_gear[u][:3]]
+                qn = qnormalize(tuple(qpos[qadr + k] for k in range(4)))
+                expmap = quat_sub_scalar(qn, (1.0, 0.0, 0.0, 0.0))
+                return (
+                    sum_scalars([mul(g3[k], expmap[k]) for k in range(3)]),
+                    sum_scalars(
+                        [mul(g3[k], qvel[vadr + k]) for k in range(3)]
+                    ),
+                )
+            if jt_u == JointType.FREE:
+                g6 = [float(x) for x in mc.actuator_gear[u]]
+                return 0.0, sum_scalars(
+                    [mul(g6[k], qvel[vadr + k]) for k in range(6)]
+                )
+            return (mul(gear, qpos[qadr]), mul(gear, qvel[vadr]))
         if trn == TrnType.TENDON:
             t = model.actuator_trnid[u]
             return mul(gear, ten_len[t]), mul(gear, ten_vel[t])
@@ -1152,10 +1163,10 @@ def build_sensors(model: Model):
             vel = fma(vel, add(dot3(jacp, wf), dot3(ang, wt)), qvel[dof])
         return 0.0, vel
 
-    def sens(qpos, qvel, qacc=None, time=None, fk=None):
+    def sens(qpos, qvel, qacc=None, time=None, fk=None, mocap=None):
         qpos, qvel = list(qpos), list(qvel)
         if fk is None:
-            fk = _fk_chain(model, mc, sub_mask, qpos)
+            fk = _fk_chain(model, mc, sub_mask, qpos, mocap=mocap)
         cvel = cdof_dot = cacc = None
         if need_vel:
             cvel, cdof_dot = _com_vel_sg(model, fk, qvel)
@@ -1310,13 +1321,18 @@ def build_step(model: Model, with_env: bool = False, task=None,
     bd_mask = smooth.body_dof_mask(model)          # (nbody, nv)
     sub_mask = smooth.subtree_mask(model)          # (nbody, nbody)
 
-    def fk_chain(qpos):
-        return _fk_chain(model, mc, sub_mask, qpos)
+    def fk_chain(qpos, mocap=None):
+        return _fk_chain(model, mc, sub_mask, qpos, mocap=mocap)
 
-    def forward_pass(qpos, qvel, act, warmstart, ctrl, debug=None):
+    def forward_pass(qpos, qvel, act, warmstart, ctrl, debug=None,
+                     mocap=None, eq_act=None):
         """Full forward dynamics to qacc (no integration); returns the
-        pieces integrators need (mass-matrix dict + Cholesky helpers)."""
-        fk = fk_chain(qpos)
+        pieces integrators need (mass-matrix dict + Cholesky helpers).
+
+        ``mocap``: flat 7*nmocap runtime pose scalars (see _fk_chain);
+        ``eq_act``: optional list of neq runtime bool lanes gating the
+        equality rows (Data.eq_active semantics)."""
+        fk = fk_chain(qpos, mocap)
         xpos, xquat, xmat, xipos = (fk["xpos"], fk["xquat"], fk["xmat"],
                                     fk["xipos"])
         subtree_com, cdof = fk["subtree_com"], fk["cdof"]
@@ -1499,6 +1515,28 @@ def build_step(model: Model, with_env: bool = False, task=None,
                             ),
                         )
                     spring = mul(-stiff, ball_springs[j][i - vadr])
+                elif jt == JointType.FREE:
+                    # translation dofs: linear spring to qpos_spring[:3];
+                    # rotation dofs: quaternion spring (smooth.passive)
+                    k_ = i - vadr
+                    if k_ < 3:
+                        spring = mul(
+                            -stiff,
+                            sub(qpos[qadr + k_],
+                                float(mc.qpos_spring[qadr + k_])),
+                        )
+                    else:
+                        if j not in ball_springs:
+                            ball_springs[j] = quat_sub_scalar(
+                                tuple(
+                                    qpos[qadr + 3 + k] for k in range(4)
+                                ),
+                                tuple(
+                                    float(mc.qpos_spring[qadr + 3 + k])
+                                    for k in range(4)
+                                ),
+                            )
+                        spring = mul(-stiff, ball_springs[j][k_ - 3])
             damp = mul(-float(mc.dof_damping[i]), qvel[i])
             qfrc_passive.append(add(spring, damp))
 
@@ -1594,9 +1632,33 @@ def build_step(model: Model, with_env: bool = False, task=None,
             trn = TrnType(model.actuator_trntype[u])
             if trn == TrnType.JOINT:
                 j = model.actuator_trnid[u]
-                gear = float(mc.actuator_gear[u][0])
-                moment = {model.jnt_dofadr[j]: gear}
-                length = mul(gear, qpos[model.jnt_qposadr[j]])
+                jt_u = model.jnt_type[j]
+                qadr_u = model.jnt_qposadr[j]
+                vadr_u = model.jnt_dofadr[j]
+                if jt_u == JointType.BALL:
+                    # torque = gear[0:3] on the 3 rotational dofs; length
+                    # = expmap(q) . gear[:3] (smooth.actuator_moments)
+                    g3 = [float(x) for x in mc.actuator_gear[u][:3]]
+                    moment = {
+                        vadr_u + k: g3[k] for k in range(3) if g3[k] != 0.0
+                    }
+                    qn = qnormalize(
+                        tuple(qpos[qadr_u + k] for k in range(4))
+                    )
+                    expmap = quat_sub_scalar(qn, (1.0, 0.0, 0.0, 0.0))
+                    length = sum_scalars(
+                        [mul(g3[k], expmap[k]) for k in range(3)]
+                    )
+                elif jt_u == JointType.FREE:
+                    g6 = [float(x) for x in mc.actuator_gear[u]]
+                    moment = {
+                        vadr_u + k: g6[k] for k in range(6) if g6[k] != 0.0
+                    }
+                    length = 0.0
+                else:
+                    gear = float(mc.actuator_gear[u][0])
+                    moment = {vadr_u: gear}
+                    length = mul(gear, qpos[qadr_u])
             elif trn == TrnType.TENDON:
                 t = model.actuator_trnid[u]
                 gear = float(mc.actuator_gear[u][0])
@@ -1737,7 +1799,7 @@ def build_step(model: Model, with_env: bool = False, task=None,
         # ----------------- collision + efc assembly -----------------
         rows, cones = _assemble_rows(
             model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof, bd_mask, h,
-            fk_chain=fk_chain,
+            fk_chain=(lambda qp: fk_chain(qp, mocap)), eq_act=eq_act,
         )
         if debug is not None:
             debug.update(rows=rows, cones=cones)
@@ -1832,8 +1894,10 @@ def build_step(model: Model, with_env: bool = False, task=None,
 
     if model.opt.integrator == Integrator.EULER:
 
-        def step(qpos, qvel, act, warmstart, ctrl, time=None, debug=None):
-            fw = forward_pass(qpos, qvel, act, warmstart, ctrl, debug=debug)
+        def step(qpos, qvel, act, warmstart, ctrl, time=None, debug=None,
+                 mocap=None, eq_act=None):
+            fw = forward_pass(qpos, qvel, act, warmstart, ctrl, debug=debug,
+                              mocap=mocap, eq_act=eq_act)
             # semi-implicit Euler with implicit joint damping (mj_Euler)
             if model.any_damping and not model.opt.disable_eulerdamp:
                 damp = [h * float(mc.dof_damping[i]) for i in range(nv)]
@@ -1859,8 +1923,10 @@ def build_step(model: Model, with_env: bool = False, task=None,
 
     else:  # RK4 (mj_RungeKutta, N=4): 4 chained forward passes
 
-        def step(qpos, qvel, act, warmstart, ctrl, time=None, debug=None):
-            fw = forward_pass(qpos, qvel, act, warmstart, ctrl, debug=debug)
+        def step(qpos, qvel, act, warmstart, ctrl, time=None, debug=None,
+                 mocap=None, eq_act=None):
+            fw = forward_pass(qpos, qvel, act, warmstart, ctrl, debug=debug,
+                              mocap=mocap, eq_act=eq_act)
             vels = [list(qvel)]
             accs = [fw["qacc"]]
             adots = [fw["act_dot"]]
@@ -1883,7 +1949,8 @@ def build_step(model: Model, with_env: bool = False, task=None,
                 qpos_i = integrate_pos_sg(qpos, dq, h)
                 qvel_i = [add(qvel[k], mul(h, dv[k])) for k in range(nv)]
                 act_i = [add(act[k], mul(h, da[k])) for k in range(na)]
-                fw = forward_pass(qpos_i, qvel_i, act_i, ws, ctrl)
+                fw = forward_pass(qpos_i, qvel_i, act_i, ws, ctrl,
+                                  mocap=mocap, eq_act=eq_act)
                 ws = fw["new_ws"]
                 vels.append(qvel_i)
                 accs.append(fw["qacc"])
@@ -2099,7 +2166,7 @@ def _qpos_tangent_sg(model, qpos, qvel):
 
 
 def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
-                   bd_mask, h, fk_chain=None):
+                   bd_mask, h, fk_chain=None, eq_act=None):
     """Equality + friction + limit + contact rows as dicts with sparse J.
 
     Row kinds (matching the general solver's force classes):
@@ -2126,15 +2193,19 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                     cdof=cdof)
 
     # ----- equality (connect / weld / joint; mjCNSTR_EQUALITY) -----
-    # Kernel-class equality is statically active (model.eq_active0);
-    # runtime eq_active toggling stays on the general path.
+    # Without ``eq_act`` the rows follow model.eq_active0 at build time
+    # (statically active only); with it, EVERY equality row is built and
+    # gated by its runtime lane (Data.eq_active toggling in-kernel, r5).
+    def _eq_on(e):
+        return eq_act is not None or bool(model.eq_active0[e])
+
     if model.neq:
         # weld needs xquat, which forward_pass does not pass through;
         # re-running fk_chain builds identical expressions that XLA CSE
         # merges with forward_pass's own FK
         fk = fk_chain(list(qpos))
         cw = _eq_cw_rows_sg(model, mc, fk, bd_mask)
-        cw_active = [e for e in sorted(cw) if model.eq_active0[e]]
+        cw_active = [e for e in sorted(cw) if _eq_on(e)]
         if cw_active:
             def rowvels(qp):
                 fk2 = fk_chain(list(qp))
@@ -2150,8 +2221,9 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
             )
         ri = 0
         for e in range(model.neq):
-            if not model.eq_active0[e]:
+            if not _eq_on(e):
                 continue
+            ex_e = True if eq_act is None else eq_act[e]
             et = EqType(model.eq_type[e])
             solref = mc.eq_solref[e]
             solimp = mc.eq_solimp[e]
@@ -2182,7 +2254,7 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                 aref = -b * vel - k * imp * pos
                 dcoef = imp / (1.0 - imp) / max(dap, 1e-12)
                 rows.append(dict(
-                    J=J, pos=pos, aref=aref, D=dcoef, exists=True,
+                    J=J, pos=pos, aref=aref, D=dcoef, exists=ex_e,
                     kind="eq",
                 ))
             elif et == EqType.TENDON:
@@ -2223,7 +2295,7 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                 aref = -b * vel - k * imp * pos
                 dcoef = imp / (1.0 - imp) / max(dap, 1e-12)
                 rows.append(dict(
-                    J=J, pos=pos, aref=aref, D=dcoef, exists=True,
+                    J=J, pos=pos, aref=aref, D=dcoef, exists=ex_e,
                     kind="eq",
                 ))
             else:
@@ -2241,7 +2313,7 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                     aref = -b * vel - k * imp * pos - acc0
                     dcoef = imp / (1.0 - imp) / max(dap, 1e-12)
                     rows.append(dict(
-                        J=J, pos=pos, aref=aref, D=dcoef, exists=True,
+                        J=J, pos=pos, aref=aref, D=dcoef, exists=ex_e,
                         kind="eq",
                     ))
 
@@ -2421,28 +2493,45 @@ def _assemble_rows(model, mc, qpos, qvel, xpos, xmat, subtree_com, cdof,
                         exists=exists, kind="uni",
                     ))
                 elif elliptic:
-                    # one condim-row cone group: [normal; t1; t2] with
-                    # plain (un-mu-scaled) axis jacobians; friction rows
-                    # D_i = D0 * impratio * (mu_i/mu_0)^2, aref = -b*vel
-                    # (matches physics/constraint.py elliptic assembly)
+                    # one condim-row cone group: [normal; t1; t2] plus
+                    # torsional (n) and rolling (t1/t2) rotation rows for
+                    # condim 4/6, with plain (un-mu-scaled) axis jacobians;
+                    # friction rows D_i = D0 * impratio * (mu_i/mu_0)^2,
+                    # aref = -b*vel (matches physics/constraint.py
+                    # elliptic assembly at every condim)
                     jt1 = {dof: dot3(t1f, v) for dof, v in jrows.items()}
                     jt2 = {dof: dot3(t2f, v) for dof, v in jrows.items()}
-                    d0 = dapn / max(iw, 1e-12)
                     mu0 = float(friction[0])
-                    mus = (mu0, float(friction[1]))
+                    jlist = [jt1, jt2]
+                    mus = [mu0, float(friction[1])]
+                    if condim >= 4:
+                        jrot = _rot_jac_rel(model, cdof, bd_mask, b1, b2)
+                        jlist.append(
+                            {dof: dot3(n, av) for dof, av in jrot.items()}
+                        )
+                        mus.append(float(friction[2]))
+                    if condim == 6:
+                        jlist.append(
+                            {dof: dot3(t1f, av) for dof, av in jrot.items()}
+                        )
+                        jlist.append(
+                            {dof: dot3(t2f, av) for dof, av in jrot.items()}
+                        )
+                        mus.append(float(friction[3]))
+                        mus.append(float(friction[4]))
+                    d0 = dapn / max(iw, 1e-12)
                     impr = float(model.opt.impratio)
-                    D_c = [d0,
-                           d0 * impr * (mus[0] / mu0) ** 2,
-                           d0 * impr * (mus[1] / mu0) ** 2]
+                    D_c = [d0] + [
+                        d0 * impr * (m_ / mu0) ** 2 for m_ in mus
+                    ]
                     vel_n = _jdotv(jn, qvel)
-                    aref_c = [
-                        -b_ * vel_n - k * imp * posr,
-                        mul(-b_, _jdotv(jt1, qvel)),
-                        mul(-b_, _jdotv(jt2, qvel)),
+                    aref_c = [-b_ * vel_n - k * imp * posr] + [
+                        mul(-b_, _jdotv(jt, qvel)) for jt in jlist
                     ]
                     cones.append(dict(
-                        J=[jn, jt1, jt2], D=D_c, aref=aref_c, pos=posr,
-                        exists=exists, mu=mus, mu0=mu0, impratio=impr,
+                        J=[jn] + jlist, D=D_c, aref=aref_c, pos=posr,
+                        exists=exists, mu=tuple(mus), mu0=mu0,
+                        impratio=impr,
                     ))
                 else:
                     # pyramidal facets: 2 tangent directions (condim 3),
@@ -3101,7 +3190,11 @@ def _row_force_act(r, jar_r):
     the quadratic zone is |D jar| < floss, outside it the cost is linear
     (MuJoCo friction-row Huber cost)."""
     if r["kind"] == "eq":
-        return -r["D"] * jar_r, True
+        ex = r["exists"]
+        if ex is True:
+            return -r["D"] * jar_r, True
+        # runtime-gated equality (Data.eq_active as a kernel input)
+        return jnp.where(ex, -r["D"] * jar_r, 0.0), ex
     if r["kind"] == "fri":
         fl = r["floss"]
         g = r["D"] * jar_r
@@ -3112,7 +3205,9 @@ def _row_force_act(r, jar_r):
 
 def _row_cost(r, jar_r):
     if r["kind"] == "eq":
-        return 0.5 * r["D"] * jar_r * jar_r
+        c = 0.5 * r["D"] * jar_r * jar_r
+        ex = r["exists"]
+        return c if ex is True else jnp.where(ex, c, 0.0)
     if r["kind"] == "fri":
         fl = r["floss"]
         g = r["D"] * jar_r
@@ -3126,10 +3221,14 @@ def _row_cost(r, jar_r):
 def _cone_force_sg(c, jar3):
     """(force list, g list) of one elliptic contact group at residual jar3
     (scalar transcription of physics/constraint._cone_force_cost: projection
-    of g = -D*jar onto the friction cone in the D^-1 metric)."""
-    g = [mul(-1.0, mul(c["D"][i], jar3[i])) for i in range(3)]
-    ghat = [g[1] / c["mu"][0], g[2] / c["mu"][1]]
-    gT = jnp.sqrt(ghat[0] * ghat[0] + ghat[1] * ghat[1])
+    of g = -D*jar onto the friction cone in the D^-1 metric).  The group has
+    ``condim`` rows: normal + condim-1 friction components (tangential,
+    plus torsional/rolling at condim 4/6)."""
+    dim = len(c["J"])
+    m = dim - 1
+    g = [mul(-1.0, mul(c["D"][i], jar3[i])) for i in range(dim)]
+    ghat = [g[i + 1] / c["mu"][i] for i in range(m)]
+    gT = jnp.sqrt(sum(gh * gh for gh in ghat))
     mub2 = c["mu0"] * c["mu0"] / c["impratio"]
     wa = 1.0 / (1.0 + mub2)
     wb = mub2 / (1.0 + mub2)
@@ -3137,12 +3236,12 @@ def _cone_force_sg(c, jar3):
     bottom = g[0] >= gT
     zero = t <= 0.0
     safe = jnp.where(gT > 1e-15, gT, 1.0)
-    f = [
-        jnp.where(bottom, g[0], jnp.where(zero, 0.0, t)),
-        jnp.where(bottom, g[1],
-                  jnp.where(zero, 0.0, c["mu"][0] * t * ghat[0] / safe)),
-        jnp.where(bottom, g[2],
-                  jnp.where(zero, 0.0, c["mu"][1] * t * ghat[1] / safe)),
+    f = [jnp.where(bottom, g[0], jnp.where(zero, 0.0, t))] + [
+        jnp.where(
+            bottom, g[i + 1],
+            jnp.where(zero, 0.0, c["mu"][i] * t * ghat[i] / safe),
+        )
+        for i in range(m)
     ]
     f = [jnp.where(c["exists"], fi, 0.0) for fi in f]
     return f, g
@@ -3152,18 +3251,20 @@ def _cone_cost_sg(c, jar3):
     """Moreau-envelope cost of one cone group (grad cost = -force)."""
     f, g = _cone_force_sg(c, jar3)
     cost = 0.0
-    for i in range(3):
+    for i in range(len(c["J"])):
         dinv = 1.0 / jnp.maximum(c["D"][i], 1e-30)
         cost = cost + 0.5 * dinv * (g[i] * g[i] - (g[i] - f[i]) ** 2)
     return jnp.where(c["exists"], cost, 0.0)
 
 
 def _cone_hess_sg(c, jar3):
-    """3x3 cost-Hessian block of one cone group wrt its jar slice
-    (constraint._solve_newton.cone_hess in scalar form)."""
+    """(condim, condim) cost-Hessian block of one cone group wrt its jar
+    slice (constraint._solve_newton.cone_hess in scalar form)."""
+    dim = len(c["J"])
+    m = dim - 1
     _, g = _cone_force_sg(c, jar3)
-    q = [g[1] / c["mu"][0], g[2] / c["mu"][1]]
-    Q = jnp.sqrt(q[0] * q[0] + q[1] * q[1])
+    q = [g[i + 1] / c["mu"][i] for i in range(m)]
+    Q = jnp.sqrt(sum(qi * qi for qi in q))
     safe_q = jnp.where(Q > 1e-15, Q, 1.0)
     mub2 = c["mu0"] * c["mu0"] / c["impratio"]
     D0 = c["D"][0]
@@ -3174,24 +3275,24 @@ def _cone_hess_sg(c, jar3):
     t = wa * g[0] + wb * Q
     hpp = a * a / (a + b_)
     s0 = mul(-1.0, D0)
-    st = [mul(-1.0, c["D"][1]) / c["mu"][0], mul(-1.0, c["D"][2]) / c["mu"][1]]
-    H = [[None] * 3 for _ in range(3)]
+    st = [mul(-1.0, c["D"][i + 1]) / c["mu"][i] for i in range(m)]
+    H = [[None] * dim for _ in range(dim)]
     H[0][0] = s0 * s0 * hpp
-    for i in range(2):
+    for i in range(m):
         hpq_i = (a * b_ / (a + b_)) * q[i] / safe_q
         H[0][i + 1] = s0 * st[i] * hpq_i
         H[i + 1][0] = H[0][i + 1]
-    for i in range(2):
-        for j in range(2):
+    for i in range(m):
+        for j in range(m):
             qq = q[i] * q[j] / (safe_q * safe_q)
             eye = 1.0 if i == j else 0.0
             hqq = (b_ * b_ / (a + b_)) * qq + (t * b_ / safe_q) * (eye - qq)
             H[i + 1][j + 1] = st[i] * st[j] * hqq
     bottom = g[0] >= Q
     zero = t <= 0.0
-    out = [[None] * 3 for _ in range(3)]
-    for i in range(3):
-        for j in range(3):
+    out = [[None] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(dim):
             diag = c["D"][i] if i == j else 0.0
             v = jnp.where(bottom, diag, jnp.where(zero, 0.0, H[i][j]))
             out[i][j] = jnp.where(c["exists"], v, 0.0)
@@ -3266,14 +3367,15 @@ def _newton(model, rows, cones, m_mat, l_m, chol_factor, chol_solve,
         for c, j3 in zip(cones, cjar):
             H = _cone_hess_sg(c, j3)
             dofs = sorted({d for Ji in c["J"] for d in Ji})
+            cdim = len(c["J"])
             for pi, dp in enumerate(dofs):
                 for dq in dofs[: pi + 1]:
                     v = 0.0
-                    for i in range(3):
+                    for i in range(cdim):
                         jip = c["J"][i].get(dp)
                         if jip is None:
                             continue
-                        for j in range(3):
+                        for j in range(cdim):
                             jjq = c["J"][j].get(dq)
                             if jjq is None:
                                 continue
@@ -3337,7 +3439,7 @@ def _linesearch_scalar(rows, jar, jp, d0, sg, cones=(), cjar=(), cjp=(),
         for c, j3, p3 in zip(cones, cjar, cjp):
             jar_a = [jr + alpha * jpr for jr, jpr in zip(j3, p3)]
             f_a, _ = _cone_force_sg(c, jar_a)
-            for i in range(3):
+            for i in range(len(p3)):
                 s = s - f_a[i] * p3[i]
         return s
 

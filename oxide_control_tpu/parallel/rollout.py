@@ -190,7 +190,33 @@ class FastRollout:
         )
         n_state = self._n_state
 
-        def bundle(state, rng, params):
+        # runtime mocap poses + equality-active lanes (r5 kernel-class
+        # admissions): always passed so the jit signature is stable;
+        # defaults are the model's mocap rest pose / eq_active0
+        self._nmocap, self._neq = model.nmocap, model.neq
+        if model.nmocap:
+            rows = []
+            for bid in range(model.nbody):
+                if model.body_mocapid[bid] >= 0:
+                    rows.append(np.concatenate([
+                        np.asarray(jax.device_get(model.body_pos[bid])),
+                        np.asarray(jax.device_get(model.body_quat[bid])),
+                    ]))
+            flat7 = np.concatenate(rows)  # (7*nmocap,)
+            self._default_mocap = jnp.asarray(
+                np.broadcast_to(flat7[:, None], (7 * model.nmocap, b)).copy()
+            )
+        else:
+            self._default_mocap = None
+        if model.neq:
+            ea0 = np.asarray(model.eq_active0, dtype=np.float32)
+            self._default_eqact = jnp.asarray(
+                np.broadcast_to(ea0[:, None], (model.neq, b)).copy()
+            )
+        else:
+            self._default_eqact = None
+
+        def bundle(state, rng, params, mocap, eq_active):
             if mesh is not None:
                 # per-device RNG stream: fold in the env-axis position
                 rng = jax.random.fold_in(
@@ -201,14 +227,19 @@ class FastRollout:
                 k_seed, (1,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
             )
             dtype = state[0].dtype
+            extra = ()
+            if model.nmocap:
+                extra = extra + (mocap.astype(dtype),)
+            if model.neq:
+                extra = extra + (eq_active.astype(dtype),)
             if policy is None:
                 ctrl = jax.random.uniform(
                     k_ctrl, (steps_per_call, max(model.nu, 1), b_local),
                     minval=-1.0, maxval=1.0, dtype=dtype,
                 )
-                return kernel(*state, ctrl, seed)
+                return kernel(*state, ctrl, seed, *extra)
             flat = [leaf.astype(dtype) for wb in params for leaf in wb]
-            return kernel(*state, seed, *flat)
+            return kernel(*state, seed, *flat, *extra)
 
         if mesh is None:
             self._bundle = jax.jit(bundle, donate_argnums=(0,))
@@ -226,10 +257,13 @@ class FastRollout:
                 if policy is not None:
                     out.append(traj3)
             # params are replicated: P() is a pytree-prefix spec covering
-            # every (W, b) leaf
+            # every (W, b) leaf; mocap/eq_active are per-env (col) or
+            # absent (P() prefix over None)
+            moc_spec = col if model.nmocap else P()
+            eq_spec = col if model.neq else P()
             sharded = jax.shard_map(
                 bundle, mesh=mesh,
-                in_specs=((col,) * n_state, P(), P()),
+                in_specs=((col,) * n_state, P(), P(), moc_spec, eq_spec),
                 out_specs=tuple(out),
                 check_vma=False,
             )
@@ -273,13 +307,37 @@ class FastRollout:
             state = state + (data.qacc.T,)
         return state
 
-    def run(self, state, rng: jax.Array, params=None):
+    def run(self, state, rng: jax.Array, params=None, mocap_pos=None,
+            mocap_quat=None, eq_active=None):
         """One K-step kernel call.
 
         Returns ``(new_state, Trajectory)``.  ``params`` (from
         :meth:`init_params`) is required when the rollout carries an
-        in-kernel policy, ignored otherwise."""
-        out = self._bundle(tuple(state), rng, params)
+        in-kernel policy, ignored otherwise.
+
+        Mocap models: ``mocap_pos (B, nmocap, 3)`` / ``mocap_quat
+        (B, nmocap, 4)`` move the mocap bodies (constant within the K
+        steps; defaults to the model rest pose).  Equality models:
+        ``eq_active (B, neq)`` 0/1 toggles equality constraints per env
+        (Data.eq_active semantics; defaults to eq_active0).  All are
+        runtime inputs — no recompile."""
+        mocap = self._default_mocap
+        if mocap_pos is not None or mocap_quat is not None:
+            nm, b = self._nmocap, self._default_mocap.shape[1]
+            pos = (jnp.asarray(mocap_pos) if mocap_pos is not None else
+                   self._default_mocap.reshape(nm, 7, b)[:, :3]
+                   .transpose(2, 0, 1))
+            quat = (jnp.asarray(mocap_quat) if mocap_quat is not None else
+                    self._default_mocap.reshape(nm, 7, b)[:, 3:]
+                    .transpose(2, 0, 1))
+            # (B, nmocap, 3/4) -> (nmocap, 7, B) -> (7*nmocap, B)
+            mocap = jnp.concatenate(
+                [pos.transpose(1, 2, 0), quat.transpose(1, 2, 0)], axis=1
+            ).reshape(7 * nm, b)
+        eqa = self._default_eqact
+        if eq_active is not None:
+            eqa = jnp.asarray(eq_active).astype(jnp.float32).T
+        out = self._bundle(tuple(state), rng, params, mocap, eqa)
         ns = self._n_state
         traj = Trajectory(reward_sum=out[ns][0], diverged=out[ns + 1][0])
         if self.collect:

@@ -327,3 +327,54 @@ ELLIPSOID_DROP = """
   </worldbody>
 </mujoco>
 """
+
+# <replicate> meta-element (MuJoCo parser macro): cumulative offset+euler
+# copies with zero-padded name suffixes
+REPLICATE = """
+<mujoco model="replicate">
+  <option timestep="0.002"/>
+  <worldbody>
+    <replicate count="3" offset="0.2 0 0" euler="0 0 20">
+      <body name="b" pos="0 0 1" euler="0 0 10">
+        <joint name="j" type="hinge" axis="0 1 0" damping="0.1"/>
+        <geom name="g" type="capsule" size="0.02" fromto="0 0 0 0.1 0 0"/>
+        <site name="s" pos="0.1 0 0"/>
+      </body>
+    </replicate>
+  </worldbody>
+  <actuator>
+    <motor joint="j0" gear="1"/>
+    <motor joint="j2" gear="1"/>
+  </actuator>
+</mujoco>
+"""
+
+# <composite type="cable"> (the one composite MuJoCo 3.x keeps): ball-joint
+# capsule chain along a polyline, parallel-transported frames, consecutive
+# contact excludes, free initial joint
+CABLE = """
+<mujoco model="cable">
+  <option timestep="0.002"/>
+  <worldbody>
+    <composite type="cable" vertex="0 0 1  0.1 0 1  0.2 0.05 1.02  0.3 0.1 1.1"
+               prefix="C" initial="free">
+      <geom type="capsule" size="0.008" mass="0.01" rgba="0.8 0.2 0.1 1"/>
+      <joint kind="main" damping="0.015" armature="0.001" stiffness="0.5"/>
+    </composite>
+  </worldbody>
+</mujoco>
+"""
+
+# curve-generated hanging cable, ball-anchored at the world
+CABLE_HANG = """
+<mujoco model="cable_hang">
+  <option timestep="0.002"/>
+  <worldbody>
+    <composite type="cable" count="6" curve="s" size="0.6" offset="0.1 0 1"
+               initial="ball">
+      <geom type="capsule" size="0.01" density="800"/>
+      <joint kind="main" damping="0.02"/>
+    </composite>
+  </worldbody>
+</mujoco>
+"""

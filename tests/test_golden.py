@@ -828,3 +828,111 @@ def test_adhesion_actuator_golden():
     assert err_q < 1e-5, err_q
     # the grip actually lifted the ball off the floor in the oracle
     assert qp_ref[280, 2] > 0.12
+
+BALL_FREE_ACTUATOR = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint name="b" type="ball" damping="0.05"/>
+      <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" mass="0.5"/>
+    </body>
+    <body pos="1 0 1">
+      <joint name="f" type="free"/>
+      <geom type="box" size="0.1 0.08 0.06" mass="1" pos="0.02 0 0"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor joint="b" gear="1 0.5 0.2"/>
+    <general joint="b" gear="0.3 1 0" biastype="affine" biasprm="0 -2 -0.1"/>
+    <motor joint="f" gear="0 0 4 0 0 0.5"/>
+    <motor joint="f" gear="1 0 0 0.3 0 0"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_ball_free_actuator_golden():
+    """Motors on ball and free joints (mj_transmission mjTRN_JOINT on
+    quaternion joints: moment = gear scattered on the dofs, ball length =
+    expmap . gear[:3]) vs CPU MuJoCo (reference hot call physics.rs:44-46)."""
+    ref = mujoco.MjModel.from_xml_string(BALL_FREE_ACTUATOR)
+    rng = np.random.default_rng(3)
+    qvel = rng.uniform(-0.3, 0.3, ref.nv)
+    ctrls = rng.uniform(-1, 1, (60, ref.nu))
+    mq, mv = rollout_mujoco(BALL_FREE_ACTUATOR, ref.qpos0, qvel, ctrls)
+    oq, ov = rollout_ours(BALL_FREE_ACTUATOR, ref.qpos0, qvel, ctrls)
+    assert np.abs(mq - oq).max() < 1e-10
+    assert np.abs(mv - ov).max() < 1e-9
+
+
+def test_free_joint_spring_golden():
+    """Free-joint springs (translation spring to qpos_spring[:3] +
+    quaternion spring via mju_subQuat on the rotation dofs, mj_passive)
+    vs CPU MuJoCo, displaced + rotated initial state."""
+    xml = """
+    <mujoco>
+      <option timestep="0.002" gravity="0 0 -1"/>
+      <worldbody>
+        <body pos="0 0 1">
+          <joint type="free" stiffness="8" damping="0.2"/>
+          <geom type="box" size="0.1 0.08 0.06" mass="1" pos="0.02 0.01 0"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    ref = mujoco.MjModel.from_xml_string(xml)
+    qpos = ref.qpos0.copy()
+    qpos[:3] += [0.1, -0.05, 0.2]
+    q = np.array([0.9, 0.1, 0.3, -0.2])
+    qpos[3:7] = q / np.linalg.norm(q)
+    rng = np.random.default_rng(5)
+    qvel = rng.uniform(-0.3, 0.3, ref.nv)
+    ctrls = np.zeros((80, 0))
+    mq, mv = rollout_mujoco(xml, qpos, qvel, ctrls)
+    oq, ov = rollout_ours(xml, qpos, qvel, ctrls)
+    assert np.abs(mq - oq).max() < 1e-10
+    assert np.abs(mv - ov).max() < 1e-9
+
+
+def test_replicate_golden():
+    """<replicate> meta-expansion produces a dynamically identical model:
+    three replicated actuated pendulums vs CPU MuJoCo (mj_loadXML macro
+    layer behind physics.rs:12-24)."""
+    xml = fixtures.REPLICATE
+    ref = mujoco.MjModel.from_xml_string(xml)
+    rng = np.random.default_rng(11)
+    qvel = rng.uniform(-0.5, 0.5, ref.nv)
+    ctrls = rng.uniform(-1, 1, (80, ref.nu))
+    mq, mv = rollout_mujoco(xml, ref.qpos0, qvel, ctrls)
+    oq, ov = rollout_ours(xml, ref.qpos0, qvel, ctrls)
+    assert np.abs(mq - oq).max() < 1e-10
+    assert np.abs(mv - ov).max() < 1e-9
+
+
+def test_cable_golden():
+    """<composite type="cable"> swinging chain (free-rooted polyline with
+    ball joints, per-joint spring/damper, consecutive-body excludes) vs
+    CPU MuJoCo over 150 steps."""
+    xml = fixtures.CABLE
+    ref = mujoco.MjModel.from_xml_string(xml)
+    rng = np.random.default_rng(13)
+    qvel = rng.uniform(-0.5, 0.5, ref.nv)
+    ctrls = np.zeros((150, 0))
+    mq, mv = rollout_mujoco(xml, ref.qpos0, qvel, ctrls)
+    oq, ov = rollout_ours(xml, ref.qpos0, qvel, ctrls)
+    assert np.abs(mq - oq).max() < 1e-9
+    assert np.abs(mv - ov).max() < 1e-8
+
+
+def test_cable_hang_golden():
+    """Curve-generated ball-anchored hanging cable settles identically to
+    the oracle (gravity + joint dampers, 200 steps)."""
+    xml = fixtures.CABLE_HANG
+    ref = mujoco.MjModel.from_xml_string(xml)
+    qvel = np.zeros(ref.nv)
+    ctrls = np.zeros((200, 0))
+    mq, mv = rollout_mujoco(xml, ref.qpos0, qvel, ctrls)
+    oq, ov = rollout_ours(xml, ref.qpos0, qvel, ctrls)
+    assert np.abs(mq - oq).max() < 1e-9
+    assert np.abs(mv - ov).max() < 1e-8

@@ -715,3 +715,76 @@ def test_megakernel_chunked_trajectory_streaming():
     for xa, xb in zip(out_a, out_b):
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
                                    rtol=0, atol=0)
+
+
+def test_megakernel_mocap_eq_runtime_inputs():
+    """Mocap poses + eq_active flags as runtime kernel inputs (r5 residue
+    #3): per-env mocap targets and per-env equality toggles flow through
+    the megakernel and match the general path's Data.mocap_pos/mocap_quat/
+    eq_active semantics (interpret mode, f32)."""
+    from oxide_control_tpu.physics import forward as fwd
+    from oxide_control_tpu.state import make_data
+
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="6" tolerance="0"/>
+      <worldbody>
+        <body name="target" mocap="true" pos="0.3 0 0.4">
+          <geom type="box" size="0.1 0.1 0.02" contype="0" conaffinity="0"/>
+        </body>
+        <body name="box" pos="0 0 0.3">
+          <freejoint/>
+          <geom type="box" size="0.06 0.05 0.04" mass="0.5"/>
+        </body>
+      </worldbody>
+      <equality>
+        <weld body1="box" body2="target"/>
+        <connect body1="box" body2="target" anchor="0 0 0" active="false"/>
+      </equality>
+    </mujoco>
+    """
+    model = load_model_from_xml(xml, dtype=np.float32)
+    assert model.nmocap == 1 and model.neq == 2
+    B, K = 4, 10
+    rng = np.random.default_rng(7)
+    qpos = np.tile(np.asarray(model.qpos0), (B, 1)).astype(np.float32)
+    qpos[:, :3] += rng.uniform(-0.05, 0.05, (B, 3)).astype(np.float32)
+    qvel = rng.uniform(-0.2, 0.2, (B, model.nv)).astype(np.float32)
+    mocap_pos = (np.array([0.3, 0, 0.4], np.float32)[None, None]
+                 + rng.uniform(-0.1, 0.1, (B, 1, 3))).astype(np.float32)
+    mq = rng.uniform(-1, 1, (B, 1, 4)).astype(np.float32)
+    mq /= np.linalg.norm(mq, axis=-1, keepdims=True)
+    eq_act = np.array(
+        [[1, 0], [1, 1], [0, 0], [0, 1]], np.float32
+    )
+
+    # general path
+    d0 = make_data(model)
+    dB = jax.vmap(lambda q, v, mp, mqt, ea: d0.replace(
+        qpos=q, qvel=v, mocap_pos=mp, mocap_quat=mqt,
+        eq_active=ea.astype(bool),
+    ))(qpos, qvel, mocap_pos, mq, eq_act)
+    step_ref = jax.jit(jax.vmap(lambda x: fwd.step(model, x)))
+    for _ in range(K):
+        dB = step_ref(dB)
+
+    # megakernel (interpret): extra inputs appended after ctrl/seed
+    kernel = mk.build_rollout(model, B, K, tile=B, interpret=True)
+    state = (
+        jnp.asarray(qpos.T), jnp.asarray(qvel.T),
+        jnp.zeros((1, B), jnp.float32),
+        jnp.zeros((model.nv, B), jnp.float32),
+        jnp.zeros((1, B), jnp.float32),
+    )
+    ctrl = jnp.zeros((K, 1, B), jnp.float32)  # nu == 0: one unused row
+    seed = jnp.zeros((1,), jnp.int32)
+    moc = jnp.concatenate(
+        [jnp.asarray(mocap_pos.transpose(1, 2, 0)),
+         jnp.asarray(mq.transpose(1, 2, 0))], axis=1
+    ).reshape(7 * model.nmocap, B)
+    eqa = jnp.asarray(eq_act.T)
+    out = kernel(*state, ctrl, seed, moc, eqa)
+    np.testing.assert_allclose(np.asarray(out[0]).T, np.asarray(dB.qpos),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[1]).T, np.asarray(dB.qvel),
+                               rtol=0, atol=2e-4)

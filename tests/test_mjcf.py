@@ -20,6 +20,10 @@ ALL_MODELS = {
     "free_body": fixtures.FREE_BODY,
     "ball_joint": fixtures.BALL_JOINT,
     "euler_orient": fixtures.EULER_ORIENT,
+    # meta-element expansions (r5: mj_loadXML macro layer)
+    "replicate": fixtures.REPLICATE,
+    "cable": fixtures.CABLE,
+    "cable_hang": fixtures.CABLE_HANG,
 }
 
 

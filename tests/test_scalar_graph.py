@@ -504,20 +504,30 @@ def test_supports_documented_rejections():
     assert not sg.supports(make(opt='integrator="implicitfast"'))
     assert not sg.supports(make(opt='solver="CG"'))
     assert not sg.supports(make(opt='solver="PGS"'))
-    # condim 4/6 pyramidal are covered (r4); elliptic cones reject them
+    # condim 4/6 are covered for BOTH cone families (pyramidal r4,
+    # elliptic r5)
     assert sg.supports(make(condim='condim="4"'))
     assert sg.supports(make(condim='condim="6"'))
-    assert not sg.supports(make(opt='solver="Newton" cone="elliptic"',
-                                condim='condim="4"'))
-    # free-joint limits (free-joint limit rows are not built)
-    assert not sg.supports(make(
-        joint='<joint type="free" limited="true" range="0 1"/>'
-    ))
-    # actuators on ball joints
-    assert not sg.supports(make(
+    assert sg.supports(make(opt='solver="Newton" cone="elliptic"',
+                            condim='condim="4"'))
+    assert sg.supports(make(opt='solver="Newton" cone="elliptic"',
+                            condim='condim="6"'))
+    # free-joint limited="true" compiles to unlimited (oracle-verified
+    # MuJoCo behavior), so the model stays in the class
+    m_freelim = make(joint='<joint type="free" limited="true" range="0 1"/>')
+    assert not any(m_freelim.jnt_limited)
+    assert sg.supports(m_freelim)
+    # actuators on ball/free joints joined the class in r5
+    assert sg.supports(make(
         joint='<joint name="bj" type="ball"/>',
         extra='<actuator><motor joint="bj" gear="1 0 0"/></actuator>',
     ))
+    assert sg.supports(make(
+        joint='<joint name="fj" type="free"/>',
+        extra='<actuator><motor joint="fj" gear="0 0 1 0 0 0"/></actuator>',
+    ))
+    # free-joint springs joined the class in r5
+    assert sg.supports(make(joint='<joint type="free" stiffness="5"/>'))
     # box-box pairs joined the supported contact list in r5 (SAT+clip)
     xml_bb = """
     <mujoco>
@@ -971,3 +981,173 @@ def test_fluid_forces_scalar_graph():
     m = load_model_from_xml(xml)
     assert sg.supports(m)
     _parity_rollout(m, nsteps=20, seed=13, tol=1e-8)
+
+def test_ball_free_actuators_scalar_graph():
+    """Actuators on ball AND free joints in the kernel class (r5): motor
+    torque through quaternion dofs + affine bias reading the ball expmap
+    length, vs the general pipeline (mj_transmission mjTRN_JOINT on
+    quaternion joints; general path is oracle-exact at 1e-14)."""
+    from oxide_control_tpu.mjcf.compile import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="6" tolerance="0"/>
+      <worldbody>
+        <body pos="0 0 1">
+          <joint name="b" type="ball" damping="0.05"/>
+          <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" mass="0.5"/>
+        </body>
+        <body pos="1 0 1">
+          <joint name="f" type="free"/>
+          <geom type="box" size="0.1 0.08 0.06" mass="1" pos="0.02 0 0"/>
+        </body>
+      </worldbody>
+      <actuator>
+        <motor joint="b" gear="1 0.5 0.2"/>
+        <general joint="b" gear="0.3 1 0" biastype="affine"
+                 biasprm="0 -2 -0.1"/>
+        <motor joint="f" gear="0 0 4 0 0 0.5"/>
+        <motor joint="f" gear="1 0 0 0.3 0 0"/>
+      </actuator>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert sg.supports(m)
+    _parity_rollout(m, nsteps=20, seed=17, tol=1e-8)
+
+
+def test_free_spring_scalar_graph():
+    """Free-joint springs (translation + quaternion spring to qpos_spring)
+    in the kernel class (r5) vs the general pipeline."""
+    from oxide_control_tpu.mjcf.compile import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="6" tolerance="0"
+              gravity="0 0 -1"/>
+      <worldbody>
+        <body pos="0 0 1">
+          <joint type="free" stiffness="8" damping="0.2"/>
+          <geom type="box" size="0.1 0.08 0.06" mass="1" pos="0.02 0.01 0"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert sg.supports(m)
+    _parity_rollout(m, nsteps=25, seed=19, tol=1e-8)
+
+
+def test_elliptic_condim46_scalar_graph():
+    """Elliptic cones at condim 4/6 (torsional + rolling friction) in the
+    kernel class (r5): the generalized cone force/cost/Hessian vs the
+    general pipeline's dim-general elliptic Newton, contact-rich."""
+    from oxide_control_tpu.mjcf.compile import load_model_from_xml
+
+    for condim, fric in ((4, "1 0.01 0.0001"), (6, "1 0.008 0.002")):
+        xml = f"""
+        <mujoco>
+          <option timestep="0.002" solver="Newton" iterations="8"
+                  tolerance="0" cone="elliptic" impratio="1.3"/>
+          <worldbody>
+            <geom name="floor" type="plane" size="5 5 .1"
+                  friction="{fric}" condim="{condim}"/>
+            <body pos="0 0 0.12">
+              <freejoint/>
+              <geom type="box" size="0.1 0.08 0.12" mass="0.6"
+                    friction="{fric}" condim="{condim}"/>
+            </body>
+            <body pos="0.4 0 0.08">
+              <freejoint/>
+              <geom type="sphere" size="0.08" mass="0.3"
+                    friction="{fric}" condim="{condim}"/>
+            </body>
+          </worldbody>
+        </mujoco>
+        """
+        m = load_model_from_xml(xml)
+        assert sg.supports(m)
+        assert all(c == condim for c in m.pair_condim)
+        _parity_rollout(m, nsteps=15, seed=23, tol=2e-6)
+
+def test_mocap_eq_active_scalar_graph():
+    """Mocap bodies + runtime eq_active toggling in the kernel class (r5
+    residue #3): per-env mocap poses and per-env equality on/off flags as
+    traced step inputs, vs the general pipeline's Data.mocap_pos/
+    mocap_quat/eq_active (smooth.kinematics mocap branch + constraint.py
+    eq gating)."""
+    from oxide_control_tpu.mjcf.compile import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="6" tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body name="target" mocap="true" pos="0.3 0 0.4">
+          <geom type="box" size="0.1 0.1 0.02" contype="0" conaffinity="0"/>
+        </body>
+        <body name="box" pos="0 0 0.3">
+          <freejoint/>
+          <geom type="box" size="0.06 0.05 0.04" mass="0.5"/>
+        </body>
+      </worldbody>
+      <equality>
+        <weld body1="box" body2="target"/>
+        <connect body1="box" body2="target" anchor="0 0 0" active="false"/>
+      </equality>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert m.nmocap == 1 and m.neq == 2
+    assert sg.supports(m)
+    B = 4
+    rng = np.random.default_rng(0)
+    qpos = np.tile(np.asarray(m.qpos0), (B, 1))
+    qpos[:, :3] += rng.uniform(-0.05, 0.05, (B, 3))
+    qvel = rng.uniform(-0.2, 0.2, (B, m.nv))
+    ws = np.zeros((B, m.nv))
+    mocap_pos = (np.array([0.3, 0, 0.4])[None, None].repeat(B, 0)
+                 + rng.uniform(-0.1, 0.1, (B, 1, 3)))
+    mq = rng.uniform(-1, 1, (B, 1, 4))
+    mq /= np.linalg.norm(mq, axis=-1, keepdims=True)
+    eq_act = np.array(
+        [[True, False], [True, True], [False, False], [False, True]]
+    )
+
+    d = make_data(m)
+    dB = jax.vmap(lambda q, v, w, mp, mqt, ea: d.replace(
+        qpos=q, qvel=v, qacc_warmstart=w, mocap_pos=mp, mocap_quat=mqt,
+        eq_active=ea,
+    ))(qpos, qvel, ws, mocap_pos, mq, eq_act)
+    step_ref = jax.jit(jax.vmap(lambda x: fwd.step(m, x)))
+
+    step_s = sg.build_step(m)
+    q_l = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
+    v_l = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
+    w_l = [jnp.asarray(ws[:, i]) for i in range(m.nv)]
+    moc = []
+    for k in range(m.nmocap):
+        moc += [jnp.asarray(mocap_pos[:, k, i]) for i in range(3)]
+        moc += [jnp.asarray(mq[:, k, i]) for i in range(4)]
+    ea_l = [jnp.asarray(eq_act[:, e]) for e in range(m.neq)]
+
+    err = 0.0
+    for _ in range(15):
+        dB = step_ref(dB)
+        q_l, v_l, _, w_l = step_s(q_l, v_l, [], w_l, [],
+                                  mocap=moc, eq_act=ea_l)
+        qp = np.stack([np.asarray(x) for x in q_l], 1)
+        err = max(err, float(np.abs(qp - np.asarray(dB.qpos)).max()))
+    assert err < 1e-10, err
+
+
+def test_cable_scalar_graph():
+    """A <composite type="cable"> chain is kernel-class (free root + ball
+    joints + spatial springs/dampers, contact excludes): scalar-graph
+    parity on the swinging cable (r5)."""
+    import fixtures
+    from oxide_control_tpu.mjcf.compile import load_model_from_xml
+
+    m = load_model_from_xml(fixtures.CABLE)
+    assert sg.supports(m)
+    _parity_rollout(m, nsteps=20, seed=29, tol=1e-8)
