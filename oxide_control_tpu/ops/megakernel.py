@@ -111,6 +111,7 @@ def build_rollout(
     emit_obs: bool = False,
     policy: MLPPolicy | None = None,
     traj_budget_bytes: int = 30 * 1024 * 1024,
+    applied_forces: bool = False,
 ):
     """Compile a K-step rollout kernel.
 
@@ -138,7 +139,11 @@ def build_rollout(
     (the consumer moves targets between calls, the MuJoCo mocap idiom).
     Equality models (``model.neq > 0``) take ``eq_active (neq, B)``
     per-env 0/1 rows (Data.eq_active semantics; runtime toggling without
-    recompile).  Both appended AFTER the policy params in the signature.
+    recompile).  With ``applied_forces=True`` two more runtime inputs
+    follow: ``qfrc (nv, B)`` and ``xfrc (6*nbody, B)`` — Data.qfrc_applied
+    / xfrc_applied per-env perturbations, constant within one call (push
+    randomization at kernel speed).  All appended AFTER the policy params
+    in the signature, in the order mocap, eq_active, qfrc, xfrc.
 
     Layout note: state arrays are **coordinate-major** (nq, B) so each
     coordinate row is a full lane vector per tile.
@@ -176,7 +181,8 @@ def build_rollout(
     # Mosaic.  Estimate calibrated on humanoid (nv=27 peaks ~5k vectors).
     na_rows = max(na, 1)   # Pallas block shapes must be nonzero
     nu_rows = max(nu, 1)
-    est_vectors = 7 * nv * nv + 40 * nv + 6 * nq + 300 + 7 * nmocap + neq
+    est_vectors = (7 * nv * nv + 40 * nv + 6 * nq + 300 + 7 * nmocap + neq
+                   + (nv + 6 * model.nbody if applied_forces else 0))
     if policy is not None:
         est_vectors += 2 * (n_obs + sum(policy.hidden) + nu)
     if needs_sensors:
@@ -269,6 +275,9 @@ def build_rollout(
         if neq:
             eqact_ref = refs[i_]
             i_ += 1
+        if applied_forces:
+            qfrc_ref, xfrc_ref = refs[i_:i_ + 2]
+            i_ += 2
         (oq_ref, ov_ref, oa_ref, ows_ref, ot_ref) = refs[i_:i_ + 5]
         i_ += 5
         if carry_qacc:
@@ -336,6 +345,11 @@ def build_rollout(
                if nmocap else None)
         eqa = (list(eqact_ref[e, :] != 0.0 for e in range(neq))
                if neq else None)
+        if applied_forces:
+            qfrc_ext = [qfrc_ref[i, :] for i in range(nv)]
+            xfrc_ext = [xfrc_ref[i, :] for i in range(6 * model.nbody)]
+        else:
+            qfrc_ext = xfrc_ext = None
 
         def std_normals(count, k, salt):
             """(count, TILE) standard normals: hardware PRNG + Box-Muller
@@ -410,11 +424,13 @@ def build_rollout(
             if carry_qacc:
                 q, v, a, w, qacc1 = step(
                     list(q), list(v), list(a), list(w), list(c),
-                    mocap=moc, eq_act=eqa,
+                    mocap=moc, eq_act=eqa, qfrc_ext=qfrc_ext,
+                    xfrc_ext=xfrc_ext,
                 )
             else:
                 q, v, a, w = step(list(q), list(v), list(a), list(w),
-                                  list(c), mocap=moc, eq_act=eqa)
+                                  list(c), mocap=moc, eq_act=eqa,
+                                  qfrc_ext=qfrc_ext, xfrc_ext=xfrc_ext)
                 qacc1 = None
             n = n + 1
 
@@ -577,7 +593,8 @@ def build_rollout(
         in_specs = [spec(nq), spec(nv), spec(na_rows), spec(nv), spec(1)]
         if carry_qacc:
             in_specs.append(spec(nv))
-        n_extra = (1 if nmocap else 0) + (1 if neq else 0)
+        n_extra = ((1 if nmocap else 0) + (1 if neq else 0)
+                   + (2 if applied_forces else 0))
         extra = rest[len(rest) - n_extra:] if n_extra else ()
         rest = rest[:len(rest) - n_extra] if n_extra else rest
         if policy is None:
@@ -601,6 +618,9 @@ def build_rollout(
             in_specs.append(spec(7 * nmocap))
         if neq:
             in_specs.append(spec(neq))
+        if applied_forces:
+            in_specs.append(spec(nv))
+            in_specs.append(spec(6 * model.nbody))
         inputs = inputs + tuple(extra)
 
         state_specs = [spec(nq), spec(nv), spec(na_rows), spec(nv), spec(1)]

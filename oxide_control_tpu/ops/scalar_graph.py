@@ -359,6 +359,8 @@ def supports(model: Model) -> bool:
     * mocap bodies (poses as runtime kernel inputs, constant within one
       K-step call) and runtime eq_active toggling (per-env bool lanes as
       runtime inputs) — both r5 admissions via the policy-params pattern
+    * applied forces (Data.qfrc_applied / xfrc_applied as optional
+      runtime step inputs — mj_xfrcAccumulate scalar twin)
 
     REJECTED (general path only):
     * implicit/implicitfast integrators; CG/PGS solvers
@@ -1325,13 +1327,16 @@ def build_step(model: Model, with_env: bool = False, task=None,
         return _fk_chain(model, mc, sub_mask, qpos, mocap=mocap)
 
     def forward_pass(qpos, qvel, act, warmstart, ctrl, debug=None,
-                     mocap=None, eq_act=None):
+                     mocap=None, eq_act=None, qfrc_ext=None,
+                     xfrc_ext=None):
         """Full forward dynamics to qacc (no integration); returns the
         pieces integrators need (mass-matrix dict + Cholesky helpers).
 
         ``mocap``: flat 7*nmocap runtime pose scalars (see _fk_chain);
         ``eq_act``: optional list of neq runtime bool lanes gating the
-        equality rows (Data.eq_active semantics)."""
+        equality rows (Data.eq_active semantics); ``qfrc_ext`` /
+        ``xfrc_ext``: optional nv / 6*nbody runtime lanes —
+        Data.qfrc_applied and Data.xfrc_applied."""
         fk = fk_chain(qpos, mocap)
         xpos, xquat, xmat, xipos = (fk["xpos"], fk["xquat"], fk["xmat"],
                                     fk["xipos"])
@@ -1746,6 +1751,28 @@ def build_step(model: Model, with_env: bool = False, task=None,
             add(add(qfrc_passive[i], neg(qfrc_bias[i])), qfrc_actuator[i])
             for i in range(nv)
         ]
+        # applied forces (mj_step's qfrc_applied + mj_xfrcAccumulate twin,
+        # smooth.xfrc_accumulate): runtime per-env perturbations — r5
+        # kernel admission for push-randomization consumers
+        if qfrc_ext is not None:
+            qfrc_smooth = [
+                add(qfrc_smooth[i], qfrc_ext[i]) for i in range(nv)
+            ]
+        if xfrc_ext is not None:
+            for b in range(1, nbody):
+                f3 = tuple(xfrc_ext[6 * b + k] for k in range(3))
+                t3 = tuple(xfrc_ext[6 * b + 3 + k] for k in range(3))
+                origin = subtree_com[model.body_rootid[b]]
+                arm = vsub3(xipos[b], origin)
+                sp_ang = vadd3(t3, cross3(arm, f3))
+                for dof in range(nv):
+                    if not bd_mask[b, dof]:
+                        continue
+                    ang, lin = cdof[dof]
+                    qfrc_smooth[dof] = add(
+                        qfrc_smooth[dof],
+                        add(dot3(ang, sp_ang), dot3(lin, f3)),
+                    )
 
         # ----------------- dense cholesky helpers -----------------
         def chol_factor(mat, extra_diag=None):
@@ -1895,9 +1922,10 @@ def build_step(model: Model, with_env: bool = False, task=None,
     if model.opt.integrator == Integrator.EULER:
 
         def step(qpos, qvel, act, warmstart, ctrl, time=None, debug=None,
-                 mocap=None, eq_act=None):
+                 mocap=None, eq_act=None, qfrc_ext=None, xfrc_ext=None):
             fw = forward_pass(qpos, qvel, act, warmstart, ctrl, debug=debug,
-                              mocap=mocap, eq_act=eq_act)
+                              mocap=mocap, eq_act=eq_act, qfrc_ext=qfrc_ext,
+                              xfrc_ext=xfrc_ext)
             # semi-implicit Euler with implicit joint damping (mj_Euler)
             if model.any_damping and not model.opt.disable_eulerdamp:
                 damp = [h * float(mc.dof_damping[i]) for i in range(nv)]
@@ -1924,9 +1952,10 @@ def build_step(model: Model, with_env: bool = False, task=None,
     else:  # RK4 (mj_RungeKutta, N=4): 4 chained forward passes
 
         def step(qpos, qvel, act, warmstart, ctrl, time=None, debug=None,
-                 mocap=None, eq_act=None):
+                 mocap=None, eq_act=None, qfrc_ext=None, xfrc_ext=None):
             fw = forward_pass(qpos, qvel, act, warmstart, ctrl, debug=debug,
-                              mocap=mocap, eq_act=eq_act)
+                              mocap=mocap, eq_act=eq_act, qfrc_ext=qfrc_ext,
+                              xfrc_ext=xfrc_ext)
             vels = [list(qvel)]
             accs = [fw["qacc"]]
             adots = [fw["act_dot"]]
@@ -1950,7 +1979,8 @@ def build_step(model: Model, with_env: bool = False, task=None,
                 qvel_i = [add(qvel[k], mul(h, dv[k])) for k in range(nv)]
                 act_i = [add(act[k], mul(h, da[k])) for k in range(na)]
                 fw = forward_pass(qpos_i, qvel_i, act_i, ws, ctrl,
-                                  mocap=mocap, eq_act=eq_act)
+                                  mocap=mocap, eq_act=eq_act,
+                                  qfrc_ext=qfrc_ext, xfrc_ext=xfrc_ext)
                 ws = fw["new_ws"]
                 vels.append(qvel_i)
                 accs.append(fw["qacc"])

@@ -147,7 +147,8 @@ class FastRollout:
 
     def __init__(self, benv: BatchedEnvironment, steps_per_call: int,
                  tile: int = 1024, interpret: bool = False, mesh=None,
-                 policy=None, collect: bool = False):
+                 policy=None, collect: bool = False,
+                 applied_forces: bool = False):
         from ..ops import megakernel as mk
 
         if not fast_rollout_supported(benv):
@@ -187,7 +188,9 @@ class FastRollout:
         kernel = mk.build_rollout(
             model, b_local, steps_per_call, tile=tile, hooks=hooks,
             interpret=interpret, emit_obs=collect, policy=policy,
+            applied_forces=applied_forces,
         )
+        self._applied_forces = applied_forces
         n_state = self._n_state
 
         # runtime mocap poses + equality-active lanes (r5 kernel-class
@@ -216,7 +219,7 @@ class FastRollout:
         else:
             self._default_eqact = None
 
-        def bundle(state, rng, params, mocap, eq_active):
+        def bundle(state, rng, params, mocap, eq_active, frc):
             if mesh is not None:
                 # per-device RNG stream: fold in the env-axis position
                 rng = jax.random.fold_in(
@@ -232,6 +235,8 @@ class FastRollout:
                 extra = extra + (mocap.astype(dtype),)
             if model.neq:
                 extra = extra + (eq_active.astype(dtype),)
+            if applied_forces:
+                extra = extra + (frc[0].astype(dtype), frc[1].astype(dtype))
             if policy is None:
                 ctrl = jax.random.uniform(
                     k_ctrl, (steps_per_call, max(model.nu, 1), b_local),
@@ -261,9 +266,11 @@ class FastRollout:
             # absent (P() prefix over None)
             moc_spec = col if model.nmocap else P()
             eq_spec = col if model.neq else P()
+            frc_spec = (col, col) if applied_forces else P()
             sharded = jax.shard_map(
                 bundle, mesh=mesh,
-                in_specs=((col,) * n_state, P(), P(), moc_spec, eq_spec),
+                in_specs=((col,) * n_state, P(), P(), moc_spec, eq_spec,
+                          frc_spec),
                 out_specs=tuple(out),
                 check_vma=False,
             )
@@ -308,7 +315,8 @@ class FastRollout:
         return state
 
     def run(self, state, rng: jax.Array, params=None, mocap_pos=None,
-            mocap_quat=None, eq_active=None):
+            mocap_quat=None, eq_active=None, qfrc_applied=None,
+            xfrc_applied=None):
         """One K-step kernel call.
 
         Returns ``(new_state, Trajectory)``.  ``params`` (from
@@ -337,7 +345,24 @@ class FastRollout:
         eqa = self._default_eqact
         if eq_active is not None:
             eqa = jnp.asarray(eq_active).astype(jnp.float32).T
-        out = self._bundle(tuple(state), rng, params, mocap, eqa)
+        frc = None
+        if self._applied_forces:
+            # Data.qfrc_applied (B, nv) / xfrc_applied (B, nbody, 6) ->
+            # coordinate-major rows; default zero (no perturbation)
+            b = state[0].shape[1]
+            m = self.benv.model
+            qf = (jnp.asarray(qfrc_applied).T if qfrc_applied is not None
+                  else jnp.zeros((m.nv, b), jnp.float32))
+            xf = (jnp.asarray(xfrc_applied).reshape(b, 6 * m.nbody).T
+                  if xfrc_applied is not None
+                  else jnp.zeros((6 * m.nbody, b), jnp.float32))
+            frc = (qf, xf)
+        elif qfrc_applied is not None or xfrc_applied is not None:
+            raise ValueError(
+                "pass applied_forces=True to FastRollout to use "
+                "qfrc_applied/xfrc_applied"
+            )
+        out = self._bundle(tuple(state), rng, params, mocap, eqa, frc)
         ns = self._n_state
         traj = Trajectory(reward_sum=out[ns][0], diverged=out[ns + 1][0])
         if self.collect:

@@ -788,3 +788,64 @@ def test_megakernel_mocap_eq_runtime_inputs():
                                rtol=0, atol=2e-5)
     np.testing.assert_allclose(np.asarray(out[1]).T, np.asarray(dB.qvel),
                                rtol=0, atol=2e-4)
+
+
+def test_fastrollout_applied_forces():
+    """FastRollout(applied_forces=True): Data.qfrc_applied/xfrc_applied
+    per-env perturbations as runtime kernel inputs (r5, push
+    randomization) — an upward xfrc wrench on the ball lifts it vs the
+    zero-perturbation run, matching the general path step-for-step."""
+    from oxide_control_tpu.parallel import rollout as rmod
+    from oxide_control_tpu.physics import forward as fwd
+    from oxide_control_tpu.state import make_data
+
+    model = load_model_from_xml(_XML, dtype=np.float32)
+    task = _HopTask()
+    B, K = 8, 6
+    benv = BatchedEnvironment(model, task, B)
+    roll = rmod.FastRollout(benv, steps_per_call=K, tile=B, interpret=True,
+                            applied_forces=True)
+    rng = np.random.default_rng(41)
+    qfrc = rng.uniform(-0.5, 0.5, (B, model.nv)).astype(np.float32)
+    xfrc = np.zeros((B, model.nbody, 6), np.float32)
+    xfrc[:, 1, 2] = rng.uniform(30.0, 50.0, B)  # strong upward push
+
+    state = roll.init(jax.random.PRNGKey(0))
+    state_f = tuple(jnp.array(x) for x in state)
+    qpos0 = np.asarray(state[0]).copy()
+    qvel0 = np.asarray(state[1]).copy()
+    # same rng -> identical ctrl stream; only the push differs
+    state_0, _ = roll.run(tuple(jnp.array(x) for x in state),
+                          jax.random.PRNGKey(1))
+    state_f, trajf = roll.run(state_f, jax.random.PRNGKey(1),
+                              qfrc_applied=qfrc, xfrc_applied=xfrc)
+    # every pushed ball ends higher than its unpushed twin
+    assert np.all(np.asarray(state_f[0])[0] > np.asarray(state_0[0])[0])
+
+    # step-for-step parity vs the general path carrying the same
+    # Data.qfrc_applied/xfrc_applied (no resets in 6 steps: time_limit 15)
+    d0 = make_data(model)
+    dB = jax.vmap(lambda q, v, qf, xf: d0.replace(
+        qpos=q, qvel=v, qfrc_applied=qf, xfrc_applied=xf,
+    ))(jnp.asarray(qpos0.T), jnp.asarray(qvel0.T),
+       jnp.asarray(qfrc), jnp.asarray(xfrc))
+    step_ref = jax.jit(jax.vmap(lambda x: fwd.step(model, x)))
+    # FastRollout samples uniform random ctrl per step; rerun with the
+    # same rng stream is not reproducible here, so compare with ctrl=0
+    # through the raw kernel instead
+    from oxide_control_tpu.ops import megakernel as mk
+    kernel = mk.build_rollout(model, B, K, tile=B, interpret=True,
+                              applied_forces=True)
+    ctrl = jnp.zeros((K, model.nu, B), jnp.float32)
+    out = kernel(jnp.asarray(qpos0), jnp.asarray(qvel0),
+                 jnp.zeros((1, B), jnp.float32),
+                 jnp.zeros((model.nv, B), jnp.float32),
+                 jnp.zeros((1, B), jnp.float32),
+                 ctrl, jnp.zeros((1,), jnp.int32),
+                 jnp.asarray(qfrc.T),
+                 jnp.asarray(xfrc.reshape(B, -1).T))
+    for _ in range(K):
+        dB = dB.replace(ctrl=jnp.zeros((B, model.nu), jnp.float32))
+        dB = step_ref(dB)
+    np.testing.assert_allclose(np.asarray(out[0]).T, np.asarray(dB.qpos),
+                               rtol=0, atol=2e-5)

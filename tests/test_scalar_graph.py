@@ -1151,3 +1151,63 @@ def test_cable_scalar_graph():
     m = load_model_from_xml(fixtures.CABLE)
     assert sg.supports(m)
     _parity_rollout(m, nsteps=20, seed=29, tol=1e-8)
+
+
+def test_applied_forces_scalar_graph():
+    """Data.qfrc_applied + xfrc_applied as runtime kernel step inputs
+    (r5: push-perturbation consumers at kernel speed): the
+    mj_xfrcAccumulate scalar twin vs the general pipeline's
+    fwd_acceleration applied-force path."""
+    from oxide_control_tpu.mjcf.compile import load_model_from_xml
+
+    xml = """
+    <mujoco>
+      <option timestep="0.002" solver="Newton" iterations="6" tolerance="0"/>
+      <worldbody>
+        <geom name="floor" type="plane" size="5 5 .1"/>
+        <body pos="0 0 0.3">
+          <freejoint/>
+          <geom type="box" size="0.06 0.05 0.04" mass="0.5"/>
+          <body pos="0.1 0 0">
+            <joint type="hinge" axis="0 1 0" damping="0.01"/>
+            <geom type="capsule" fromto="0 0 0 0.15 0 0" size="0.02"
+                  mass="0.1"/>
+          </body>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    m = load_model_from_xml(xml)
+    assert sg.supports(m)
+    B = 4
+    rng = np.random.default_rng(31)
+    qpos = np.tile(np.asarray(m.qpos0), (B, 1))
+    qpos[:, 2] += rng.uniform(0, 0.1, B)
+    qvel = rng.uniform(-0.2, 0.2, (B, m.nv))
+    ws = np.zeros((B, m.nv))
+    qfrc = rng.uniform(-0.5, 0.5, (B, m.nv))
+    xfrc = rng.uniform(-1.0, 1.0, (B, m.nbody, 6))
+    xfrc[:, 0] = 0.0  # world body takes no wrench
+
+    d = make_data(m)
+    dB = jax.vmap(lambda q, v, w, qf, xf: d.replace(
+        qpos=q, qvel=v, qacc_warmstart=w, qfrc_applied=qf, xfrc_applied=xf,
+    ))(qpos, qvel, ws, qfrc, xfrc)
+    step_ref = jax.jit(jax.vmap(lambda x: fwd.step(m, x)))
+
+    step_s = sg.build_step(m)
+    q_l = [jnp.asarray(qpos[:, i]) for i in range(m.nq)]
+    v_l = [jnp.asarray(qvel[:, i]) for i in range(m.nv)]
+    w_l = [jnp.asarray(ws[:, i]) for i in range(m.nv)]
+    qf_l = [jnp.asarray(qfrc[:, i]) for i in range(m.nv)]
+    xf_l = [jnp.asarray(xfrc[:, b, k]) for b in range(m.nbody)
+            for k in range(6)]
+
+    err = 0.0
+    for _ in range(15):
+        dB = step_ref(dB)
+        q_l, v_l, _, w_l = step_s(q_l, v_l, [], w_l, [],
+                                  qfrc_ext=qf_l, xfrc_ext=xf_l)
+        qp = np.stack([np.asarray(x) for x in q_l], 1)
+        err = max(err, float(np.abs(qp - np.asarray(dB.qpos)).max()))
+    assert err < 1e-10, err
