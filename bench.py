@@ -79,6 +79,10 @@ CONFIGS = (
     # spatial tendon (the r4 compiler work's model class, now in-kernel —
     # VERDICT r4 next #3)
     ("arm", "muscle-wrap", 4096, 200, 120),
+    # r5 widening row: <composite type="cable"> chain (ball-joint capsule
+    # polyline from the meta-element expansion) driven by a motor on its
+    # ball root joint — two r5 kernel admissions in one model
+    ("cable", "swing", 4096, 200, 120),
     # general-path comparison rows: run-elliptic = cheetah with elliptic
     # cones (kernel-eligible since r3; reports both paths);
     # walk-tendon-sensors = walker + coupling tendon + IMU sensor suite
@@ -381,6 +385,23 @@ _FOURBAR_XML = """
 </mujoco>
 """
 
+# r5: <composite type="cable"> — ball-anchored 6-segment capsule chain
+# (parallel-transported frames, consecutive-body excludes) with a motor
+# on the root BALL joint (quaternion transmission, r5 kernel admission)
+_CABLE_XML = """
+<mujoco>
+  <option solver="Newton" iterations="8" tolerance="0"/>
+  <worldbody>
+    <composite type="cable" count="7" curve="s" size="0.7" offset="0 0 1"
+               initial="ball">
+      <geom type="capsule" size="0.012" density="900"/>
+      <joint kind="main" damping="0.02" stiffness="0.3" armature="0.001"/>
+    </composite>
+  </worldbody>
+  <actuator><motor joint="J_first" gear="0.4 0.2 0"/></actuator>
+</mujoco>
+"""
+
 
 def load_config(domain, task, batch):
     """Suite configs plus the general-path variant configs."""
@@ -388,11 +409,11 @@ def load_config(domain, task, batch):
 
     from oxide_control_tpu.api.environment import BatchedEnvironment
 
-    if domain in ("arms", "fourbar", "arm"):
+    if domain in ("arms", "fourbar", "arm", "cable"):
         from oxide_control_tpu import load_model_from_xml
 
         xml = {"arms": _ARMS_XML, "fourbar": _FOURBAR_XML,
-               "arm": _MUSCLE_WRAP_XML}[domain]
+               "arm": _MUSCLE_WRAP_XML, "cable": _CABLE_XML}[domain]
         model = load_model_from_xml(xml, dtype=np.float32)
         return BatchedEnvironment(model, _BenchTask(), batch)
     if (domain, task) == ("cheetah", "run-elliptic"):

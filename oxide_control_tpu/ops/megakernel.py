@@ -157,6 +157,24 @@ def build_rollout(
         )
     n_obs = hooks.n_obs if hooks is not None else 0
     needs_sensors = hooks is not None and hooks.needs_sensors
+    if hooks is not None and hooks.observe is not None:
+        # pass fk/sensordata only if the hook's signature takes them: a
+        # task may set needs_fk for its REWARD while its observation reads
+        # raw coordinates only (humanoid-run-policy-obs regression)
+        import inspect
+
+        sig = inspect.signature(hooks.observe)
+        if any(p.kind == p.VAR_KEYWORD for p in sig.parameters.values()):
+            _obs_accepts = None  # **kwargs: pass everything
+        else:
+            _obs_accepts = set(sig.parameters)
+    else:
+        _obs_accepts = None
+
+    def observe_call(q, v, okw):
+        kw = (okw if _obs_accepts is None
+              else {k: x for k, x in okw.items() if k in _obs_accepts})
+        return hooks.observe(q, v, **kw)
     if needs_sensors:
         assert sg.sensors_supported(model), (
             "needs_sensors requires every sensor in the kernel family "
@@ -391,7 +409,7 @@ def build_rollout(
                         time=n.astype(t0.dtype) * h,
                         fk=okw.get("fk"), mocap=moc,
                     )
-                obs_rows = hooks.observe(list(q), list(v), **okw)
+                obs_rows = observe_call(list(q), list(v), okw)
                 assert len(obs_rows) == n_obs, (len(obs_rows), n_obs)
                 obs_mat = jnp.stack([mat_row(o) for o in obs_rows])
             else:
