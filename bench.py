@@ -525,20 +525,30 @@ def bench_config(domain, task, batch, steps_per_call):
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     only = os.environ.get("BENCH_ONLY")  # "domain:task" filter for dev runs
+    # adaptive budget gating: the static per-config estimates are COLD
+    # costs; with a warm compile cache (.jax_cache survives runs) configs
+    # finish 3-10x faster, so scale the remaining estimates by the
+    # observed actual/estimate ratio (clamped: never assume better than
+    # 4x or trust a single outlier beyond the estimate)
+    ratios = []
     for domain, task, batch, spc, est_s in CONFIGS:
         if only and only != f"{domain}:{task}":
             continue
         key = f"{domain}-{task}@{batch}"
-        if _remaining() < est_s:
+        scale = min(max(np.mean(ratios) if ratios else 1.0, 0.25), 1.0)
+        est_eff = est_s * scale
+        if _remaining() < est_eff:
             _STATE["results"][key] = {
                 "skipped": "budget",
-                "est_cost_s": est_s,
+                "est_cost_s": round(est_eff, 1),
                 "remaining_s": round(_remaining(), 1),
             }
             _flush_partial()
             continue
+        t_cfg = time.monotonic()
         try:
             _STATE["results"][key] = bench_config(domain, task, batch, spc)
+            ratios.append((time.monotonic() - t_cfg) / est_s)
         except Exception as e:  # record the failure, keep benching the rest
             _STATE["results"][key] = {"error": repr(e)[:300]}
         _flush_partial()

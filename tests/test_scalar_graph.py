@@ -494,8 +494,8 @@ def test_supports_documented_rejections():
 
     # covered baseline
     assert sg.supports(make())
-    # mocap bodies
-    assert not sg.supports(make(joint="", mocap='mocap="true"'))
+    # mocap bodies joined the class in r5 (poses as runtime inputs)
+    assert sg.supports(make(joint="", mocap='mocap="true"'))
     # fluid forces joined the kernel class in r5 (inertia-box drag)
     assert sg.supports(make(opt='solver="Newton" density="1.2"'))
     assert sg.supports(make(opt='solver="Newton" viscosity="0.1"'))
@@ -549,13 +549,15 @@ def test_supports_documented_rejections():
     assert not sg.supports(load_model_from_xml(xml_bb.replace(
         '<geom type="box" size="0.1 0.1 0.1" mass="1"/>',
         '<geom type="cylinder" size="0.1 0.1" mass="1"/>', 1)))
-    # statically inactive equality (kernel carries no eq_active state)
+    # statically inactive equality: admitted since r5 — the megakernel
+    # threads Data.eq_active as a per-env runtime input (neq, B), so
+    # inactive-at-compile-time rows can be toggled without recompiling
     xml_eq = _EQ_XML.replace(
         '<connect body1="link2" body2="anchor" anchor="0.4 0 0"/>',
         '<connect body1="link2" body2="anchor" anchor="0.4 0 0"'
         ' active="false"/>',
     )
-    assert not sg.supports(load_model_from_xml(xml_eq))
+    assert sg.supports(load_model_from_xml(xml_eq))
 
 
 def test_elliptic_cone_scalar_graph():
