@@ -58,23 +58,19 @@ from oxide_control_tpu.parallel import rollout as rollout_mod
 # first; est_cost_s is the cold-cache budget estimate used for skipping
 # (compile dominates; measured r2-r4 ranges).  steps_per_call sized so one
 # timed call is ~10-100ms of device work per config.
+# Order: headline pair first (the record must always carry them), then
+# the cheap and r5-new widening rows (so a budget-cut sweep still shows
+# the newest kernel-class coverage), then the heavy humanoid tier, then
+# the two dual-path comparison rows.  Per-config warmup is dominated by
+# remote-Mosaic queueing (50-250s, weakly cache-dependent), so ordering
+# decides WHICH rows a finite budget records, not how fast they run.
 CONFIGS = (
     ("cheetah", "run", 4096, 200, 120),
     # cheetah-run with an IN-KERNEL MLP policy acting on in-kernel
     # observations, full (obs, action, reward, done) trajectory written out
     # every step — the RL-consumer configuration
     ("cheetah", "run-policy-obs", 4096, 200, 150),
-    ("walker", "walk", 4096, 200, 120),
-    ("humanoid", "run", 8192, 100, 180),
-    ("cartpole", "swingup", 1024, 200, 100),
-    # humanoid at the RL-consumer configuration (policy + full trajectory
-    # collection) — VERDICT r4 next #5: collect=True must work at the
-    # BASELINE config-3 tier, not just cheetah
-    ("humanoid", "run-policy-obs", 8192, 100, 220),
-    # kernel-class widening rows: self-colliding capsule/sphere arms and a
-    # connect+joint equality four-bar, both on the megakernel
-    ("arms", "self-collide", 4096, 200, 100),
-    ("fourbar", "equality", 4096, 200, 100),
+    ("cartpole", "swingup", 1024, 200, 60),
     # r5 widening row: muscle actuator on a sphere+cylinder WRAPPED
     # spatial tendon (the r4 compiler work's model class, now in-kernel —
     # VERDICT r4 next #3)
@@ -82,7 +78,18 @@ CONFIGS = (
     # r5 widening row: <composite type="cable"> chain (ball-joint capsule
     # polyline from the meta-element expansion) driven by a motor on its
     # ball root joint — two r5 kernel admissions in one model
-    ("cable", "swing", 4096, 200, 120),
+    ("cable", "swing", 4096, 200, 150),
+    # kernel-class widening rows: a connect+joint equality four-bar
+    # (eq_active runtime-input path) and self-colliding capsule/sphere
+    # arms, both on the megakernel
+    ("fourbar", "equality", 4096, 200, 100),
+    ("arms", "self-collide", 4096, 200, 100),
+    ("walker", "walk", 4096, 200, 120),
+    ("humanoid", "run", 8192, 100, 230),
+    # humanoid at the RL-consumer configuration (policy + full trajectory
+    # collection) — VERDICT r4 next #5: collect=True must work at the
+    # BASELINE config-3 tier, not just cheetah
+    ("humanoid", "run-policy-obs", 8192, 100, 260),
     # general-path comparison rows: run-elliptic = cheetah with elliptic
     # cones (kernel-eligible since r3; reports both paths);
     # walk-tendon-sensors = walker + coupling tendon + IMU sensor suite
